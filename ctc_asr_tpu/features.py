@@ -1,0 +1,205 @@
+"""Feature extraction: framing -> window -> rFFT -> mel -> log (-> DCT).
+
+Capability parity with the reference's ``asr/load_sample.py`` (SURVEY.md
+§2a: 25 ms window / 10 ms hop MFCC or log-mel via python_speech_features,
+per-feature normalization) — re-designed TPU-first rather than ported:
+
+- The whole pipeline is **matmul-formulated** so it lands on the MXU
+  (SURVEY.md §7 M2a): the real FFT is computed as two matmuls against
+  precomputed DFT cosine/sine matrices, the mel filterbank is a matmul,
+  and the MFCC DCT-II is a matmul. No complex dtypes, no jnp.fft.
+- Framing is a static gather (index matrix computed at trace time); all
+  shapes are static under jit.
+- This module is the **pure-jnp reference path**; ``ops/stft_pallas.py``
+  provides the fused Pallas kernel validated against it (SURVEY.md §4
+  test strategy: Pallas-vs-pure-JAX for every kernel).
+
+Runs batched on device: [B, S] padded samples -> [B, T, F] features.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FeatureConfig
+
+
+# ---------------------------------------------------------------------------
+# Precomputed constant matrices (host-side numpy, cached per-geometry)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def dft_matrices(win_length: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as matmul: returns (cos, -sin) matrices [win, n_fft//2+1].
+
+    power_spectrum(frame) == (frame @ cos)**2 + (frame @ msin)**2 for a
+    frame zero-padded to n_fft (zero-padding is folded in by truncating
+    the DFT basis rows to win_length).
+    """
+    n_bins = n_fft // 2 + 1
+    n = np.arange(win_length)[:, None]          # [win, 1]
+    k = np.arange(n_bins)[None, :]              # [1, bins]
+    ang = 2.0 * np.pi * n * k / float(n_fft)
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def hann_window(win_length: int) -> np.ndarray:
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(n_fft: int, n_mels: int, sample_rate: int,
+                   fmin: float, fmax: float) -> np.ndarray:
+    """Triangular mel filterbank matrix [n_fft//2+1, n_mels] (HTK scale)."""
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    bin_freqs = np.arange(n_bins) * sample_rate / float(n_fft)
+    fb = np.zeros((n_bins, n_mels), dtype=np.float32)
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (bin_freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - bin_freqs) / max(hi - ctr, 1e-9)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+@functools.lru_cache(maxsize=8)
+def dct_matrix(n_mels: int, n_mfcc: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix [n_mels, n_mfcc]."""
+    n = np.arange(n_mels)[:, None]
+    k = np.arange(n_mfcc)[None, :]
+    mat = np.cos(np.pi * (2.0 * n + 1.0) * k / (2.0 * n_mels))
+    mat *= np.sqrt(2.0 / n_mels)
+    mat[:, 0] *= np.sqrt(0.5) if n_mfcc > 0 else 1.0
+    return mat.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Shape helpers
+# ---------------------------------------------------------------------------
+
+def num_frames(n_samples: int, cfg: FeatureConfig) -> int:
+    """Frame count for ``n_samples`` samples (no centering/padding)."""
+    if n_samples < cfg.win_length:
+        return 0
+    return 1 + (n_samples - cfg.win_length) // cfg.hop_length
+
+
+def frame_lengths_from_sample_lengths(sample_lengths, cfg: FeatureConfig):
+    """Vector version of num_frames (jnp or np), clipped at >= 0."""
+    xp = jnp if isinstance(sample_lengths, jax.Array) else np
+    return xp.maximum(
+        0, 1 + (sample_lengths - cfg.win_length) // cfg.hop_length
+    ).astype(xp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp feature pipeline (the forever-reference for the Pallas kernel)
+# ---------------------------------------------------------------------------
+
+def frame_signal(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """[..., S] samples -> [..., T, win] frames via static gather."""
+    S = samples.shape[-1]
+    T = max(1, num_frames(S, cfg))
+    idx = (np.arange(T)[:, None] * cfg.hop_length
+           + np.arange(cfg.win_length)[None, :])  # [T, win]
+    idx = np.minimum(idx, S - 1)
+    return samples[..., idx]
+
+
+def log_mel_spectrogram(samples: jnp.ndarray, cfg: FeatureConfig,
+                        log_floor: float = 1e-10) -> jnp.ndarray:
+    """[..., S] float32 samples -> [..., T, n_mels] log-mel features."""
+    frames = frame_signal(samples, cfg)                      # [..., T, W]
+    frames = frames * jnp.asarray(hann_window(cfg.win_length))
+    cos_m, msin_m = dft_matrices(cfg.win_length, cfg.n_fft)
+    re = frames @ jnp.asarray(cos_m)                         # [..., T, bins]
+    im = frames @ jnp.asarray(msin_m)
+    power = re * re + im * im
+    fb = jnp.asarray(mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate,
+                                    cfg.fmin, cfg.fmax))
+    mel = power @ fb                                         # [..., T, mels]
+    return jnp.log(jnp.maximum(mel, log_floor))
+
+
+def mfcc(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """[..., S] samples -> [..., T, n_mfcc] MFCCs (DCT-II of log-mel)."""
+    logmel = log_mel_spectrogram(samples, cfg)
+    return logmel @ jnp.asarray(dct_matrix(cfg.n_mels, cfg.n_mfcc))
+
+
+def normalize_features(feats: jnp.ndarray, frame_lengths: jnp.ndarray,
+                       mode: str = "utterance") -> jnp.ndarray:
+    """Per-utterance (masked) mean/variance normalization.
+
+    ``feats``: [B, T, F]; ``frame_lengths``: [B]. Padding frames are
+    excluded from the statistics and zeroed on output so downstream
+    padding is deterministic.
+    """
+    if mode == "none":
+        return feats
+    B, T, F = feats.shape
+    mask = (jnp.arange(T)[None, :] < frame_lengths[:, None])  # [B, T]
+    maskf = mask[..., None].astype(feats.dtype)
+    n = jnp.maximum(frame_lengths.astype(feats.dtype), 1.0)[:, None, None]
+    if mode == "utterance":
+        mean = jnp.sum(feats * maskf, axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.square(feats - mean) * maskf, axis=1,
+                      keepdims=True) / n
+        out = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
+    elif mode == "global":
+        # Whole-batch statistics (proxy for dataset-level stats; exact
+        # dataset stats can be precomputed and passed via cfg later).
+        total = jnp.sum(maskf)
+        mean = jnp.sum(feats * maskf, axis=(0, 1), keepdims=True) / total
+        var = jnp.sum(jnp.square(feats - mean) * maskf, axis=(0, 1),
+                      keepdims=True) / total
+        out = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
+    else:
+        raise ValueError(f"unknown normalization mode {mode!r}")
+    return out * maskf
+
+
+def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
+                     cfg: FeatureConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched end-to-end frontend: [B, S], [B] -> ([B, T, F], [B]).
+
+    The single entry point used by the data pipeline and the transcribe
+    CLI; dispatches to the Pallas kernel when ``cfg.use_pallas`` (and the
+    kernel supports the geometry), else the pure-jnp path above.
+    """
+    if cfg.use_pallas:
+        try:
+            from .ops import stft_pallas
+            feats = stft_pallas.features_pallas(samples, cfg)
+        except (ImportError, NotImplementedError):
+            feats = _jnp_features(samples, cfg)
+    else:
+        feats = _jnp_features(samples, cfg)
+    flens = frame_lengths_from_sample_lengths(sample_lengths, cfg)
+    feats = normalize_features(feats, flens, cfg.normalization)
+    return feats, flens
+
+
+def _jnp_features(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    if cfg.feature_type == "mfcc":
+        return mfcc(samples, cfg)
+    if cfg.feature_type == "mel":
+        return log_mel_spectrogram(samples, cfg)
+    raise ValueError(f"unknown feature_type {cfg.feature_type!r}")

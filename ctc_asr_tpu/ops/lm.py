@@ -1,0 +1,125 @@
+"""Character n-gram language model for CTC shallow fusion.
+
+Capability parity with the reference's optional LM rescoring (SURVEY.md
+§0 stage chain: "optionally LM-rescored"; BASELINE.json:10 "beam search
+with n-gram LM shallow-fusion rescoring"), re-designed for TPU decode:
+
+- **Training** (host, numpy): count character n-grams of order N over a
+  transcript corpus with Witten-Bell-smoothed interpolation down to the
+  unigram, then *materialize a dense table* ``log P(c | ctx)`` of shape
+  [V^(N-1), V]. All backoff happens at build time.
+- **Inference** (device): scoring inside the beam-search kernel is a
+  single gather per step; the context id updates with one multiply-add:
+  ``ctx' = (ctx * V + c) % V**(N-1)``. No tries, no pointer chasing —
+  the TPU-native analog of a KenLM trie (SURVEY.md §2b note).
+
+Vocabulary: the 28 label symbols (a-z, space, apostrophe). Positions
+before the start of the prefix are BOS, folded in by seeding the context
+id with V-based BOS digits at build time (BOS reuses the space symbol's
+id — word boundaries and utterance starts behave alike for a char LM).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..text import ALPHABET, encode
+
+V = len(ALPHABET)  # 28 (no blank in the LM vocab)
+BOS = 0            # space id doubles as BOS: start-of-utterance ~ word start
+
+
+def _context_size(order: int) -> int:
+    return V ** (order - 1)
+
+
+def train_char_lm(transcripts, order: int = 4) -> dict:
+    """Count-based Witten-Bell interpolated char LM -> dense arrays.
+
+    Returns {"table": [V^(N-1), V] float32 log-probs, "order": N}.
+    """
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    # counts[k] maps context-tuple (len k) -> np.ndarray[V] of counts
+    counts = [dict() for _ in range(order)]
+    for text in transcripts:
+        ids = encode(text)
+        padded = [BOS] * (order - 1) + list(map(int, ids))
+        for i in range(order - 1, len(padded)):
+            c = padded[i]
+            for k in range(order):
+                ctx = tuple(padded[i - k:i])
+                vec = counts[k].get(ctx)
+                if vec is None:
+                    vec = np.zeros(V, np.float64)
+                    counts[k][ctx] = vec
+                vec[c] += 1.0
+
+    # Interpolated Witten-Bell: p_k(c|ctx) = lam * ml + (1-lam) * p_{k-1},
+    # lam = n(ctx) / (n(ctx) + types(ctx)).
+    uni = counts[0][()]
+    p_uni = (uni + 1.0) / (uni.sum() + V)
+
+    def smoothed(ctx: tuple) -> np.ndarray:
+        p = p_uni
+        for k in range(1, order):
+            sub = ctx[len(ctx) - k:]
+            vec = counts[k].get(sub)
+            if vec is None:
+                continue
+            n = vec.sum()
+            types = float((vec > 0).sum())
+            lam = n / (n + max(types, 1.0))
+            p = lam * (vec / n) + (1.0 - lam) * p
+        return p
+
+    # Materialize EVERY context row exactly (V^(N-1) rows: 22k at order 4,
+    # 614k at order 5 — build-time enumerable, so backoff is fully folded
+    # into the dense table and device scoring is one gather).
+    n_ctx = _context_size(order)
+    table = np.empty((n_ctx, V), np.float32)
+    ctx_digits = [0] * (order - 1)
+    for idx in range(n_ctx):
+        table[idx] = np.log(np.maximum(smoothed(tuple(ctx_digits)), 1e-12))
+        # increment base-V counter (most-significant digit first)
+        for d in range(order - 2, -1, -1):
+            ctx_digits[d] += 1
+            if ctx_digits[d] < V:
+                break
+            ctx_digits[d] = 0
+    return {"table": table, "order": np.int32(order)}
+
+
+def save_lm(path: str, lm: dict) -> None:
+    np.savez_compressed(path, **lm)
+
+
+def load_lm(path: str) -> dict:
+    with np.load(path) as z:
+        return {"table": z["table"].astype(np.float32),
+                "order": int(z["order"])}
+
+
+def initial_context(order: int) -> int:
+    """Context id for an empty prefix: (BOS,)*(order-1) in base V."""
+    idx = 0
+    for _ in range(order - 1):
+        idx = idx * V + BOS
+    return idx
+
+
+def next_context(ctx: int, c: int, order: int) -> int:
+    """Host-side context update (device version lives in beam search)."""
+    return (ctx * V + int(c)) % _context_size(order)
+
+
+def score_text(lm: dict, text: str) -> float:
+    """Total log P(text) under the LM (host-side; used in tests)."""
+    order = int(lm["order"])
+    table = lm["table"]
+    ctx = initial_context(order)
+    total = 0.0
+    for c in encode(text):
+        total += float(table[ctx, int(c)])
+        ctx = next_context(ctx, int(c), order)
+    return total

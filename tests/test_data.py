@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from ctc_asr_tpu import text
+from ctc_asr_tpu.config import DataConfig, FeatureConfig
+from ctc_asr_tpu.data import (DataLoader, read_manifest)
+from ctc_asr_tpu.data.loader import BatchSpec
+from ctc_asr_tpu.data.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    manifest_path = generate_corpus(str(out), num_utterances=24, seed=0)
+    return read_manifest(manifest_path)
+
+
+DATA_CFG = DataConfig(batch_size=4, num_buckets=3, num_workers=2,
+                      min_audio_seconds=0.1, max_audio_seconds=10.0)
+FEAT_CFG = FeatureConfig(use_pallas=False)
+
+
+def test_manifest_roundtrip(corpus, tmp_path):
+    from ctc_asr_tpu.data import write_manifest
+    p = str(tmp_path / "m.csv")
+    write_manifest(p, corpus)
+    m2 = read_manifest(p)
+    assert len(m2) == len(corpus)
+    assert m2[0].transcript == corpus[0].transcript
+    assert abs(m2[0].duration - corpus[0].duration) < 1e-3
+
+
+def test_shard_partition(corpus):
+    parts = [corpus.shard(i, 3) for i in range(3)]
+    assert sum(len(p) for p in parts) == len(corpus)
+    all_paths = sorted(u.path for p in parts for u in p)
+    assert all_paths == sorted(u.path for u in corpus)
+
+
+def test_batch_spec_static_shapes(corpus):
+    spec = BatchSpec.from_manifest(corpus, DATA_CFG, FEAT_CFG)
+    assert len(spec.buckets) == 3
+    for b in spec.buckets:
+        assert b.max_samples % (FEAT_CFG.hop_length * 8) == 0
+        assert b.max_label_len % 8 == 0
+    # every utterance fits its bucket
+    for u in corpus:
+        bs = spec.buckets[spec.bucket_of(u.duration)]
+        assert u.duration * spec.sample_rate <= bs.max_samples + 1
+        assert len(u.transcript) <= bs.max_label_len
+
+
+def test_epoch_plan_deterministic(corpus):
+    l1 = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    l2 = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    assert l1.epoch_plan(1) == l2.epoch_plan(1)
+    assert l1.epoch_plan(1) != l1.epoch_plan(2)  # reshuffled per epoch
+
+
+def test_sortagrad_first_epoch(corpus):
+    loader = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    plan = loader.epoch_plan(0)
+    # With sortagrad, the stream order is duration-sorted, so within each
+    # batch the max duration should be non-decreasing over the plan when
+    # restricted to one bucket.
+    per_bucket = {}
+    for b, idxs, _ in plan:
+        dmax = max(loader.shard[i].duration for i in idxs)
+        per_bucket.setdefault(b, []).append(dmax)
+    for durs in per_bucket.values():
+        assert durs == sorted(durs)
+
+
+def test_batch_contents(corpus):
+    loader = DataLoader(corpus, DATA_CFG, FEAT_CFG, drop_last=False)
+    batches = list(loader.iter_epoch(0))
+    # all utterances covered exactly once (valid counts sum to shard size)
+    assert sum(b.valid for b in batches) == len(loader.shard)
+    for b in batches:
+        bs = loader.spec.buckets[b.bucket_id]
+        assert b.samples.shape == (4, bs.max_samples)
+        assert b.labels.shape == (4, bs.max_label_len)
+        assert b.samples.dtype == np.float32
+        assert (b.sample_lengths > 0).all()
+        for i in range(b.valid):
+            dec = text.decode_ids(b.labels[i, :b.label_lengths[i]])
+            assert dec == b.transcripts[i]
+        # padding is PAD_ID
+        i0 = 0
+        assert (b.labels[i0, b.label_lengths[i0]:] == text.PAD_ID).all()
+
+
+def test_prefetch_iterator_and_resume_cursor(corpus):
+    loader = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    it = iter(loader)
+    seen = [next(it) for _ in range(3)]
+    it.close()
+    assert [b.position for b in seen] == [0, 1, 2]
+    # resume from cursor: a fresh loader at (epoch, position+1) yields the
+    # same 4th batch as continuing would
+    loader2 = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    loader2.load_state_dict({"epoch": seen[-1].epoch,
+                             "position": seen[-1].position + 1, "seed": 0})
+    it2 = iter(loader2)
+    b4 = next(it2)
+    it2.close()
+    plan = loader.epoch_plan(seen[-1].epoch)
+    if seen[-1].position + 1 < len(plan):
+        assert b4.position == seen[-1].position + 1
+
+
+def test_loader_rejects_empty():
+    from ctc_asr_tpu.data.manifest import Manifest
+    with pytest.raises(ValueError):
+        DataLoader(Manifest([]), DATA_CFG, FEAT_CFG)

@@ -1,0 +1,99 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctc_asr_tpu import features
+from ctc_asr_tpu.config import FeatureConfig
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return FeatureConfig(use_pallas=False)
+
+
+def _tone(freq, seconds=0.5, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+
+def test_dft_matmul_matches_numpy_rfft(cfg):
+    """rFFT-as-matmul must equal numpy's rfft of the zero-padded frame."""
+    rng = np.random.default_rng(0)
+    frame = rng.standard_normal(cfg.win_length).astype(np.float32)
+    cos_m, msin_m = features.dft_matrices(cfg.win_length, cfg.n_fft)
+    re = frame @ cos_m
+    im = frame @ msin_m
+    ref = np.fft.rfft(frame, n=cfg.n_fft)
+    np.testing.assert_allclose(re, ref.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(im, ref.imag, rtol=1e-3, atol=1e-3)
+
+
+def test_frame_count(cfg):
+    sr = cfg.sample_rate
+    assert features.num_frames(sr, cfg) == 1 + (sr - cfg.win_length) // cfg.hop_length
+    assert features.num_frames(cfg.win_length, cfg) == 1
+    assert features.num_frames(10, cfg) == 0
+    lens = features.frame_lengths_from_sample_lengths(
+        np.array([sr, cfg.win_length, 10]), cfg)
+    np.testing.assert_array_equal(
+        lens, [features.num_frames(sr, cfg), 1, 0])
+
+
+def test_logmel_peak_bin(cfg):
+    """A pure tone's energy must land in the mel band containing its freq."""
+    sig = _tone(1000.0)
+    logmel = np.asarray(features.log_mel_spectrogram(jnp.asarray(sig), cfg))
+    assert logmel.shape[1] == cfg.n_mels
+    mean_spec = logmel.mean(axis=0)
+    peak_mel = mean_spec.argmax()
+    # Find which mel filter is centered nearest 1 kHz.
+    fb = features.mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate,
+                                 cfg.fmin, cfg.fmax)
+    bin_freqs = np.arange(cfg.n_fft // 2 + 1) * cfg.sample_rate / cfg.n_fft
+    centers = np.asarray([bin_freqs[fb[:, m].argmax()] for m in range(cfg.n_mels)])
+    expected = np.abs(centers - 1000.0).argmin()
+    assert abs(int(peak_mel) - int(expected)) <= 1
+
+
+def test_mfcc_shape_and_finite():
+    cfg = FeatureConfig(feature_type="mfcc", n_mfcc=13, use_pallas=False)
+    sig = _tone(440.0, seconds=0.3)
+    out = np.asarray(features.mfcc(jnp.asarray(sig), cfg))
+    T = features.num_frames(len(sig), cfg)
+    assert out.shape == (T, 13)
+    assert np.isfinite(out).all()
+
+
+def test_batched_extract_and_normalize(cfg):
+    rng = np.random.default_rng(0)
+    b0 = rng.standard_normal(int(0.4 * cfg.sample_rate)).astype(np.float32)
+    b1 = _tone(2000.0, 0.25)
+    S = len(b0)
+    batch = np.zeros((2, S), np.float32)
+    batch[0] = b0
+    batch[1, :len(b1)] = b1
+    lens = np.array([len(b0), len(b1)], np.int32)
+    feats, flens = features.extract_features(jnp.asarray(batch),
+                                             jnp.asarray(lens), cfg)
+    feats = np.asarray(feats)
+    assert feats.shape[0] == 2 and feats.shape[2] == cfg.n_mels
+    np.testing.assert_array_equal(
+        np.asarray(flens),
+        features.frame_lengths_from_sample_lengths(lens, cfg))
+    # padded frames are zeroed
+    assert np.allclose(feats[1, int(flens[1]):], 0.0)
+    # valid frames are (approximately) standardized per utterance/feature
+    valid = feats[0, : int(flens[0])]
+    assert np.abs(valid.mean(axis=0)).max() < 0.05
+    np.testing.assert_allclose(valid.std(axis=0), 1.0, atol=0.05)
+
+
+def test_normalize_modes(cfg):
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 10, 4)),
+                    dtype=jnp.float32)
+    lens = jnp.asarray([10, 7])
+    for mode in ("utterance", "global", "none"):
+        out = features.normalize_features(x, lens, mode)
+        assert out.shape == x.shape
+    with pytest.raises(ValueError):
+        features.normalize_features(x, lens, "bogus")
