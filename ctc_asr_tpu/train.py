@@ -1,0 +1,205 @@
+"""Training driver: jitted train step + loop with checkpoint/eval hooks.
+
+Capability parity with the reference's ``asr/train.py`` (SURVEY.md §2a:
+Adam + optional exponential LR decay, gradient clipping,
+MonitoredTrainingSession loop with checkpoint & summary hooks), designed
+TPU-first:
+
+- The WHOLE step — device-side feature extraction, encoder, CTC loss,
+  backward, optimizer — is one jitted function; the host loop only feeds
+  raw padded audio and reads back a scalar loss (one dispatch per step,
+  SURVEY.md §3.1's per-step Python->runtime crossing minimized).
+- One compilation per length bucket (static shapes from the loader).
+- Data parallelism comes from input shardings (parallel/), not from a
+  different step function: under a mesh the same jitted step runs SPMD
+  with XLA-inserted psums.
+- State (params, opt state, step, rng, loader cursor) checkpoints
+  atomically; restart resumes bit-exact data order (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import checkpoint as ckpt_mod
+from . import features as feat_mod
+from .config import Config
+from .data import DataLoader, read_manifest
+from .metrics import MetricsWriter, ThroughputMeter
+from .models import apply_encoder, init_params
+from .ops.ctc_ref import ctc_loss
+
+
+def build_lr_schedule(cfg) -> optax.Schedule:
+    if cfg.lr_schedule == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule == "exponential":
+        return optax.exponential_decay(
+            cfg.learning_rate, transition_steps=cfg.lr_decay_steps,
+            decay_rate=cfg.lr_decay_rate, staircase=True)
+    if cfg.lr_schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps,
+            max(cfg.total_steps, cfg.warmup_steps + 1))
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
+def build_optimizer(cfg) -> optax.GradientTransformation:
+    tx = [optax.clip_by_global_norm(cfg.grad_clip_norm)] \
+        if cfg.grad_clip_norm > 0 else []
+    if cfg.weight_decay > 0:
+        tx.append(optax.adamw(build_lr_schedule(cfg), b1=cfg.adam_b1,
+                              b2=cfg.adam_b2, eps=cfg.adam_eps,
+                              weight_decay=cfg.weight_decay))
+    else:
+        tx.append(optax.adam(build_lr_schedule(cfg), b1=cfg.adam_b1,
+                             b2=cfg.adam_b2, eps=cfg.adam_eps))
+    return optax.chain(*tx)
+
+
+def init_train_state(cfg: Config, feat_dim: int | None = None) -> dict:
+    """{"params", "opt_state", "step", "rng"} pytree."""
+    if feat_dim is None:
+        feat_dim = cfg.features.feature_dim
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    prng, rng = jax.random.split(rng)
+    params = init_params(prng, cfg.model, feat_dim)
+    tx = build_optimizer(cfg.train)
+    return {"params": params, "opt_state": tx.init(params),
+            "step": jnp.zeros((), jnp.int32), "rng": rng}
+
+
+def make_train_step(cfg: Config, use_pallas_ctc: bool | None = None,
+                    donate: bool = True):
+    """Returns jitted ``step(state, samples, sample_lens, labels,
+    label_lens) -> (state, metrics_dict)``.
+
+    ``use_pallas_ctc`` defaults from the environment capability (the
+    Pallas CTC kernel is validated against ctc_ref; both paths share
+    this driver).
+    """
+    tx = build_optimizer(cfg.train)
+    sched = build_lr_schedule(cfg.train)
+    if use_pallas_ctc is None:
+        use_pallas_ctc = False
+
+    def step_fn(state, samples, sample_lengths, labels, label_lengths):
+        rng, dropout_rng = jax.random.split(state["rng"])
+        feats, flens = feat_mod.extract_features(
+            samples, sample_lengths, cfg.features)
+
+        def loss_fn(params):
+            logits, logit_lens = apply_encoder(
+                params, feats, flens, cfg.model, train=True,
+                dropout_rng=dropout_rng)
+            return ctc_loss(logits, logit_lens, labels, label_lengths,
+                            use_pallas=use_pallas_ctc)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1, "rng": rng}
+        metrics = {"loss": loss, "grad_norm": gnorm,
+                   "lr": sched(state["step"])}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: Config):
+    """Jitted ``(params, samples, slens) -> (logits, logit_lens)``."""
+
+    def eval_fn(params, samples, sample_lengths):
+        feats, flens = feat_mod.extract_features(
+            samples, sample_lengths, cfg.features)
+        return apply_encoder(params, feats, flens, cfg.model, train=False)
+
+    return jax.jit(eval_fn)
+
+
+def train(cfg: Config, max_steps: int | None = None,
+          loader: DataLoader | None = None,
+          eval_fn=None, writer: MetricsWriter | None = None) -> dict:
+    """Run the training loop; returns the final state.
+
+    ``eval_fn(state) -> dict`` is called every cfg.train.eval_every steps
+    (the evaluate driver wires in WER); ``max_steps`` overrides
+    cfg.train.total_steps (tests use small values).
+    """
+    tcfg = cfg.train
+    total = max_steps if max_steps is not None else tcfg.total_steps
+    if loader is None:
+        manifest = read_manifest(cfg.data.train_manifest)
+        loader = DataLoader(manifest, cfg.data, cfg.features,
+                            shard_idx=jax.process_index(),
+                            num_shards=jax.process_count())
+    writer = writer or MetricsWriter(tcfg.train_dir)
+    state = init_train_state(cfg)
+
+    # Resume if a checkpoint exists.
+    restored, meta = ckpt_mod.restore_latest(tcfg.train_dir + "/ckpt", state)
+    if restored is not None:
+        state = restored
+        if "loader" in meta:
+            loader.load_state_dict(meta["loader"])
+        print(f"[train] resumed from step {int(state['step'])}", flush=True)
+
+    step_fn = make_train_step(cfg)
+    meter = ThroughputMeter()
+    best_wer = meta.get("best_wer", float("inf")) if meta else float("inf")
+
+    it = iter(loader)
+    start_step = int(state["step"])
+    t_last = time.perf_counter()
+    try:
+        for _ in range(start_step, total):
+            batch = next(it)
+            state, m = step_fn(state, batch.samples, batch.sample_lengths,
+                               batch.labels, batch.label_lengths)
+            meter.update(batch.audio_seconds)
+            step = int(state["step"])
+
+            if step % tcfg.log_every == 0 or step == total:
+                now = time.perf_counter()
+                writer.write(step, loss=float(m["loss"]),
+                             grad_norm=float(m["grad_norm"]),
+                             lr=float(m["lr"]),
+                             audio_s_per_s=meter.audio_seconds_per_second,
+                             step_time_s=(now - t_last) / tcfg.log_every,
+                             epoch=batch.epoch, bucket=batch.bucket_id)
+                t_last = now
+
+            if eval_fn is not None and step % tcfg.eval_every == 0:
+                eval_metrics = eval_fn(state)
+                writer.write(step, **{f"eval_{k}": v
+                                      for k, v in eval_metrics.items()})
+                wer = eval_metrics.get("wer", float("inf"))
+                if wer < best_wer:
+                    best_wer = wer
+                    ckpt_mod.save_checkpoint(
+                        tcfg.train_dir + "/ckpt", step, state,
+                        metadata={"loader": {"epoch": batch.epoch,
+                                             "position": batch.position + 1,
+                                             "seed": cfg.data.seed},
+                                  "best_wer": best_wer},
+                        keep=tcfg.keep_checkpoints, is_best=True)
+
+            if step % tcfg.checkpoint_every == 0 or step == total:
+                ckpt_mod.save_checkpoint(
+                    tcfg.train_dir + "/ckpt", step, state,
+                    metadata={"loader": {"epoch": batch.epoch,
+                                         "position": batch.position + 1,
+                                         "seed": cfg.data.seed},
+                              "best_wer": best_wer},
+                    keep=tcfg.keep_checkpoints)
+    finally:
+        if hasattr(it, "close"):
+            it.close()
+    return state

@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctc_asr_tpu.config import ModelConfig
+from ctc_asr_tpu.models import apply_encoder, init_params, output_lengths
+from ctc_asr_tpu.models.rnn import (gru_apply, gru_init, lstm_apply,
+                                    lstm_init, reverse_sequence)
+
+
+def test_reverse_sequence():
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3, 1))
+    lens = jnp.asarray([4, 2, 0])
+    out = np.asarray(reverse_sequence(x, lens))
+    # batch 0: full reverse of [0,3,6,9] -> [9,6,3,0]
+    np.testing.assert_array_equal(out[:, 0, 0], [9, 6, 3, 0])
+    # batch 1: first 2 reversed, tail in place
+    np.testing.assert_array_equal(out[:, 1, 0], [4, 1, 7, 10])
+    # batch 2: untouched
+    np.testing.assert_array_equal(out[:, 2, 0], [2, 5, 8, 11])
+    # double reverse = identity
+    out2 = np.asarray(reverse_sequence(jnp.asarray(out), lens))
+    np.testing.assert_array_equal(out2, np.asarray(x))
+
+
+@pytest.mark.parametrize("init_fn,apply_fn", [(lstm_init, lstm_apply),
+                                              (gru_init, gru_apply)])
+def test_rnn_shapes_and_masking(init_fn, apply_fn):
+    rng = jax.random.PRNGKey(0)
+    T, B, F, H = 7, 3, 5, 8
+    params = init_fn(rng, F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lens = jnp.asarray([7, 4, 0])
+    out = np.asarray(apply_fn(params, x, lens, compute_dtype=jnp.float32))
+    assert out.shape == (T, B, H)
+    # outputs at/after length are zero
+    assert np.allclose(out[4:, 1], 0.0)
+    assert np.allclose(out[:, 2], 0.0)
+    assert not np.allclose(out[:4, 1], 0.0)
+
+
+def test_rnn_padding_invariance():
+    """Changing garbage beyond a sequence's length must not change its
+    valid outputs (state carry is masked)."""
+    rng = jax.random.PRNGKey(0)
+    T, B, F, H = 6, 2, 4, 8
+    params = lstm_init(rng, F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lens = jnp.asarray([6, 3])
+    out1 = np.asarray(lstm_apply(params, x, lens, jnp.float32))
+    x2 = x.at[3:, 1].set(99.0)
+    out2 = np.asarray(lstm_apply(params, x2, lens, jnp.float32))
+    np.testing.assert_allclose(out1[:3, 1], out2[:3, 1], rtol=1e-6)
+
+
+def _run_encoder(cfg, B=2, T=20, F=13):
+    params = init_params(jax.random.PRNGKey(0), cfg, F)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    lens = jnp.asarray([T, T // 2])
+    logits, out_lens = apply_encoder(params, feats, lens, cfg)
+    return np.asarray(logits), np.asarray(out_lens)
+
+
+def test_dense_encoder():
+    cfg = ModelConfig(frontend="dense", dense_layers=2, dense_units=32,
+                      rnn_layers=2, rnn_units=16, bidirectional=False,
+                      compute_dtype="float32")
+    logits, lens = _run_encoder(cfg)
+    assert logits.shape == (2, 20, 29)
+    np.testing.assert_array_equal(lens, [20, 10])
+    assert np.isfinite(logits).all()
+
+
+def test_conv_encoder_downsamples():
+    cfg = ModelConfig(frontend="conv", conv_channels=(4, 4),
+                      conv_kernels=((5, 5), (3, 3)),
+                      conv_strides=((2, 2), (1, 2)),
+                      rnn_layers=1, rnn_units=16, bidirectional=True,
+                      compute_dtype="float32")
+    logits, lens = _run_encoder(cfg, T=21, F=16)
+    # SAME padding: T' = ceil(21/2) = 11
+    assert logits.shape == (2, 11, 29)
+    np.testing.assert_array_equal(lens, [11, 5])
+
+
+def test_output_lengths():
+    cfg = ModelConfig(frontend="conv", conv_strides=((2, 2), (1, 2)))
+    lens = output_lengths(jnp.asarray([20, 21, 1, 0]), cfg)
+    np.testing.assert_array_equal(np.asarray(lens), [10, 11, 1, 0])
+    cfg2 = ModelConfig(frontend="dense")
+    np.testing.assert_array_equal(
+        np.asarray(output_lengths(jnp.asarray([7]), cfg2)), [7])
+
+
+def test_bidirectional_doubles_and_uses_future():
+    cfg_uni = ModelConfig(frontend="dense", dense_layers=1, dense_units=8,
+                          rnn_layers=1, rnn_units=8, bidirectional=False,
+                          compute_dtype="float32")
+    cfg_bi = ModelConfig(frontend="dense", dense_layers=1, dense_units=8,
+                         rnn_layers=1, rnn_units=8, bidirectional=True,
+                         compute_dtype="float32")
+    F = 5
+    p_bi = init_params(jax.random.PRNGKey(0), cfg_bi, F)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 10, F))
+    lens = jnp.asarray([10])
+    logits, _ = apply_encoder(p_bi, feats, lens, cfg_bi)
+    # perturb the LAST frame: with a BiRNN, the FIRST output must change
+    feats2 = feats.at[0, -1].set(5.0)
+    logits2, _ = apply_encoder(p_bi, feats2, lens, cfg_bi)
+    assert not np.allclose(np.asarray(logits[0, 0]), np.asarray(logits2[0, 0]))
+    # with a uni RNN it must NOT change
+    p_uni = init_params(jax.random.PRNGKey(0), cfg_uni, F)
+    l1, _ = apply_encoder(p_uni, feats, lens, cfg_uni)
+    l2, _ = apply_encoder(p_uni, feats2, lens, cfg_uni)
+    np.testing.assert_allclose(np.asarray(l1[0, 0]), np.asarray(l2[0, 0]),
+                               rtol=1e-5)
+
+
+def test_dropout_train_vs_eval():
+    cfg = ModelConfig(frontend="dense", dense_layers=1, dense_units=16,
+                      rnn_layers=1, rnn_units=8, dropout=0.5,
+                      compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg, 4)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 4))
+    lens = jnp.asarray([6])
+    e1, _ = apply_encoder(params, feats, lens, cfg, train=False)
+    e2, _ = apply_encoder(params, feats, lens, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+    t1, _ = apply_encoder(params, feats, lens, cfg, train=True,
+                          dropout_rng=jax.random.PRNGKey(2))
+    t2, _ = apply_encoder(params, feats, lens, cfg, train=True,
+                          dropout_rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_bf16_compute_close_to_f32():
+    cfg32 = ModelConfig(frontend="dense", dense_layers=1, dense_units=32,
+                        rnn_layers=1, rnn_units=32, compute_dtype="float32")
+    cfg16 = ModelConfig(frontend="dense", dense_layers=1, dense_units=32,
+                        rnn_layers=1, rnn_units=32, compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), cfg32, 8)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 8))
+    lens = jnp.asarray([12, 12])
+    l32, _ = apply_encoder(params, feats, lens, cfg32)
+    l16, _ = apply_encoder(params, feats, lens, cfg16)
+    assert np.asarray(l16).dtype == np.float32  # f32 accumulate/output
+    np.testing.assert_allclose(np.asarray(l32), np.asarray(l16),
+                               rtol=0.15, atol=0.15)
