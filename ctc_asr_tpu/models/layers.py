@@ -48,12 +48,15 @@ def conv2d_apply(params: dict, x: jnp.ndarray, strides,
     keeps output length = ceil(in_len / stride) (see
     ``encoder.output_lengths``).
     """
+    # No preferred_element_type here: conv's transpose (grad) rule
+    # requires operand/cotangent dtypes to match, so we keep the conv
+    # uniformly in compute dtype and upcast after (the TPU MXU still
+    # accumulates bf16 products in f32 internally).
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), params["w"].astype(compute_dtype),
         window_strides=tuple(strides), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return y + params["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.astype(jnp.float32) + params["b"]
 
 
 def clipped_relu(x: jnp.ndarray, clip: float = 20.0) -> jnp.ndarray:

@@ -73,19 +73,16 @@ def init_train_state(cfg: Config, feat_dim: int | None = None) -> dict:
             "step": jnp.zeros((), jnp.int32), "rng": rng}
 
 
-def make_train_step(cfg: Config, use_pallas_ctc: bool | None = None,
-                    donate: bool = True):
-    """Returns jitted ``step(state, samples, sample_lens, labels,
-    label_lens) -> (state, metrics_dict)``.
+def make_step_fn(cfg: Config, use_pallas_ctc: bool = False):
+    """The bare (unjitted) train step ``(state, samples, sample_lens,
+    labels, label_lens) -> (state, metrics)``.
 
-    ``use_pallas_ctc`` defaults from the environment capability (the
-    Pallas CTC kernel is validated against ctc_ref; both paths share
-    this driver).
+    Shared by the single-chip path (make_train_step jits it directly)
+    and the mesh path (parallel/dist.py jits it with shardings) — the
+    SPMD design means one step function for every topology.
     """
     tx = build_optimizer(cfg.train)
     sched = build_lr_schedule(cfg.train)
-    if use_pallas_ctc is None:
-        use_pallas_ctc = False
 
     def step_fn(state, samples, sample_lengths, labels, label_lengths):
         rng, dropout_rng = jax.random.split(state["rng"])
@@ -110,6 +107,13 @@ def make_train_step(cfg: Config, use_pallas_ctc: bool | None = None,
                    "lr": sched(state["step"])}
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(cfg: Config, use_pallas_ctc: bool = False,
+                    donate: bool = True):
+    """Single-chip jitted train step (see make_step_fn)."""
+    step_fn = make_step_fn(cfg, use_pallas_ctc)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
