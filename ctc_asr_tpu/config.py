@@ -109,6 +109,9 @@ class TrainConfig:
     adam_eps: float = 1e-8
     grad_clip_norm: float = 5.0
     weight_decay: float = 0.0
+    # Pallas CTC alpha/beta kernel (falls back to the pure-JAX scan
+    # reference on platforms without Mosaic, i.e. CPU).
+    use_pallas_ctc: bool = True
     total_steps: int = 100000
     log_every: int = 50
     eval_every: int = 2500

@@ -184,12 +184,10 @@ def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
     CLI; dispatches to the Pallas kernel when ``cfg.use_pallas`` (and the
     kernel supports the geometry), else the pure-jnp path above.
     """
-    if cfg.use_pallas:
-        try:
-            from .ops import stft_pallas
-            feats = stft_pallas.features_pallas(samples, cfg)
-        except (ImportError, NotImplementedError):
-            feats = _jnp_features(samples, cfg)
+    from .ops.dispatch import resolve_use_pallas
+    if resolve_use_pallas(cfg.use_pallas):
+        from .ops import stft_pallas
+        feats = stft_pallas.features_pallas(samples, cfg)
     else:
         feats = _jnp_features(samples, cfg)
     flens = frame_lengths_from_sample_lengths(sample_lengths, cfg)

@@ -5,21 +5,28 @@ Replaces the reference's ``tf.signal`` / python_speech_features DSP stack
 Pallas STFT/filterbank"). Parity-tested against the pure-jnp reference
 in ``features.py`` (tests/test_stft_pallas.py, interpret mode on CPU).
 
-Design (SURVEY.md §7 M2a):
-- One fused kernel per (utterance, frame-tile): raw samples stream
-  HBM->VMEM once (the frames tensor — a 2.5x overlap inflation at
-  25ms/10ms — is never materialized in HBM, unlike the XLA path which
-  gathers [B, T, W] first).
-- Framing uses an explicit async DMA of the overlapping sample span
-  (overlapping reads are not expressible as BlockSpec tiling) followed
-  by an in-VMEM strided unpack loop.
-- The rFFT is two MXU matmuls against precomputed DFT cosine/sine bases
-  (matmul-formulated FFT: for W=400, n_fft=512 the dense [W, 257]
-  matmul beats a butterfly network on the MXU and needs no complex
-  dtype); mel projection and the MFCC DCT are further matmuls; window
-  multiply, |.|^2 and log fuse in between on the VPU.
-- Tile size: 128 frames per grid step -> [128, W] x [W, 257] matmuls,
-  fully tiled on the 128x128 MXU.
+Design (TPU-first; SURVEY.md §7 M2a):
+
+- **Hop-block DFT decomposition.** A 25ms/10ms frame overlaps its
+  neighbors, and Mosaic cannot vector-load at dynamic lane offsets that
+  aren't 128-aligned (hop=160 samples). Instead of gathering frames we
+  use linearity of the DFT: with the signal reshaped to hop-sized rows
+  ``A[r, :] = samples[r*hop : (r+1)*hop]``, frame t is the
+  concatenation ``[A[t], A[t+1], ..., A[t+K-1][:rem]]`` and
+
+      rfft(win * frame_t) = sum_k  A[t+k] @ C_k,
+
+  where ``C_k = diag(win)[k*hop:(k+1)*hop] @ DFT_rows[k*hop:(k+1)*hop]``
+  are precomputed [hop, bins] matrices (window folded in, zero rows past
+  the window length). Each term is a dense MXU matmul over an *aligned*
+  row-block — no gathers, no unaligned loads, and the [B, T, W] frames
+  tensor never exists in any memory.
+- Row blocks ``A[t+k]`` for a 128-frame tile are fetched with K small
+  async DMAs at arbitrary row offsets (DMA has no lane-alignment
+  constraint, unlike vector loads).
+- Power, mel projection, log (and the MFCC DCT) fuse behind the
+  matmuls; constants stay VMEM-resident across the whole grid (their
+  block index never changes).
 """
 
 from __future__ import annotations
@@ -42,37 +49,59 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _stft_kernel(samples_hbm, win_ref, cos_ref, msin_ref, mel_ref,
-                 dct_ref, out_ref, span_buf, frames_buf, sem,
-                 *, hop: int, W: int, span: int, use_dct: bool,
+@functools.lru_cache(maxsize=8)
+def _segment_dft(win_length: int, hop: int, n_fft: int):
+    """Windowed DFT bases split into hop-row segments.
+
+    Returns (cos_segs, msin_segs): [n_seg, hop_pad, bins] with the Hann
+    window folded in; rows beyond the window (and the 128-lane padding
+    of each hop row) are zero, so padded sample lanes contribute
+    nothing to the matmuls.
+    """
+    n_seg = -(-win_length // hop)
+    hop_pad = _round_up(hop, 128)
+    n_bins = n_fft // 2 + 1
+    cos_m, msin_m = feat_mod.dft_matrices(win_length, n_fft)
+    win = feat_mod.hann_window(win_length)
+    wc = win[:, None] * cos_m
+    ws = win[:, None] * msin_m
+    cos_segs = np.zeros((n_seg, hop_pad, n_bins), np.float32)
+    msin_segs = np.zeros((n_seg, hop_pad, n_bins), np.float32)
+    for k in range(n_seg):
+        lo, hi = k * hop, min((k + 1) * hop, win_length)
+        cos_segs[k, :hi - lo] = wc[lo:hi]
+        msin_segs[k, :hi - lo] = ws[lo:hi]
+    return cos_segs, msin_segs
+
+
+def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
+                 out_ref, blk, sem, *, n_seg: int, use_dct: bool,
                  log_floor: float):
-    """Grid (B, num_tiles). samples stay in HBM (ANY); the overlapping
-    span for this tile is DMA'd manually; constants stay VMEM-resident
-    (their block index never changes)."""
+    """Grid (B, num_tiles). rows_hbm: [B, R, hop] in HBM/ANY; blk: VMEM
+    scratch [n_seg, TT, hop]; constants VMEM-resident."""
     b = pl.program_id(0)
     tile = pl.program_id(1)
-    start = tile * FRAME_TILE * hop
+    r0 = tile * FRAME_TILE
 
-    dma = pltpu.make_async_copy(
-        samples_hbm.at[b, pl.ds(start, span)],
-        span_buf.at[0, pl.ds(0, span)],
-        sem)
-    dma.start()
-    dma.wait()
+    for k in range(n_seg):
+        pltpu.make_async_copy(
+            rows_hbm.at[b, pl.ds(r0 + k, FRAME_TILE), :],
+            blk.at[k], sem.at[k]).start()
+    for k in range(n_seg):
+        pltpu.make_async_copy(
+            rows_hbm.at[b, pl.ds(r0 + k, FRAME_TILE), :],
+            blk.at[k], sem.at[k]).wait()
 
-    # Unpack overlapping frames: frames[t, :] = span[t*hop : t*hop+W].
-    def unpack(t, _):
-        frames_buf[t, :] = span_buf[0, pl.ds(t * hop, W)]
-        return 0
-
-    jax.lax.fori_loop(0, FRAME_TILE, unpack, 0)
-
-    frames = frames_buf[...] * win_ref[0, :]            # [TT, W]
-    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, msin_ref[...], preferred_element_type=jnp.float32)
-    power = re * re + im * im                           # [TT, bins]
+    re = jnp.dot(blk[0], cos_ref[0], preferred_element_type=jnp.float32)
+    im = jnp.dot(blk[0], msin_ref[0], preferred_element_type=jnp.float32)
+    for k in range(1, n_seg):
+        re = re + jnp.dot(blk[k], cos_ref[k],
+                          preferred_element_type=jnp.float32)
+        im = im + jnp.dot(blk[k], msin_ref[k],
+                          preferred_element_type=jnp.float32)
+    power = re * re + im * im                                # [TT, bins]
     mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
-    feats = jnp.log(jnp.maximum(mel, log_floor))        # [TT, n_mels]
+    feats = jnp.log(jnp.maximum(mel, log_floor))
     if use_dct:
         feats = jnp.dot(feats, dct_ref[...],
                         preferred_element_type=jnp.float32)
@@ -84,58 +113,63 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
                     interpret: bool = False) -> jnp.ndarray:
     """[B, S] float32 samples -> [B, T, F] features (mel or mfcc).
 
-    Matches ``features._jnp_features`` (un-normalized); the caller
-    applies length masking/normalization. T is the same frame count as
-    the reference path.
+    Matches ``features._jnp_features`` (un-normalized); caller applies
+    masking/normalization. Frame count T matches the reference path.
     """
     B, S = samples.shape
     W, hop = cfg.win_length, cfg.hop_length
     T = max(1, feat_mod.num_frames(S, cfg))
     use_dct = cfg.feature_type == "mfcc"
     F = cfg.n_mfcc if use_dct else cfg.n_mels
+    n_seg = -(-W // hop)
 
     num_tiles = -(-T // FRAME_TILE)
     T_pad = num_tiles * FRAME_TILE
-    span = (FRAME_TILE - 1) * hop + W
-    # Pad samples so the last tile's span DMA stays in bounds.
-    S_need = (T_pad - 1) * hop + W
-    span_pad = _round_up(span, 128)
-    if S_need + (span_pad - span) > S:
-        samples = jnp.pad(samples,
-                          ((0, 0), (0, S_need + span_pad - span - S)))
+    # Rows needed: the last tile's frame T_pad-1 reads rows up to
+    # T_pad-1 + n_seg; pad samples to that many whole hops.
+    R = T_pad + n_seg
+    S_need = R * hop
+    if S_need > S:
+        samples = jnp.pad(samples, ((0, 0), (0, S_need - S)))
+    # Each hop row pads to a 128-lane multiple: DMA slices (and the VMEM
+    # scratch) must be lane-aligned; the matching DFT-segment rows are
+    # zero so the padding is numerically inert.
+    hop_pad = _round_up(hop, 128)
+    rows = samples[:, :S_need].reshape(B, R, hop)
+    if hop_pad != hop:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, hop_pad - hop)))
 
-    cos_m, msin_m = feat_mod.dft_matrices(W, cfg.n_fft)
-    win = feat_mod.hann_window(W).reshape(1, -1)
+    cos_segs, msin_segs = _segment_dft(W, hop, cfg.n_fft)
     fb = feat_mod.mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate,
                                  cfg.fmin, cfg.fmax)
     dct = feat_mod.dct_matrix(cfg.n_mels, cfg.n_mfcc) if use_dct else \
         np.zeros((cfg.n_mels, 1), np.float32)
 
-    kernel = functools.partial(
-        _stft_kernel, hop=hop, W=W, span=span, use_dct=use_dct,
-        log_floor=log_floor)
-
-    const_spec = lambda *_: (0, 0)  # noqa: E731 — resident constants
+    kernel = functools.partial(_stft_kernel, n_seg=n_seg, use_dct=use_dct,
+                               log_floor=log_floor)
+    const3 = lambda *_: (0, 0, 0)  # noqa: E731
+    const2 = lambda *_: (0, 0)     # noqa: E731
     out = pl.pallas_call(
         kernel,
         grid=(B, num_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # samples (HBM)
-            pl.BlockSpec(win.shape, const_spec),
-            pl.BlockSpec(cos_m.shape, const_spec),
-            pl.BlockSpec(msin_m.shape, const_spec),
-            pl.BlockSpec(fb.shape, const_spec),
-            pl.BlockSpec(dct.shape, const_spec),
+            # Rows MUST stay in HBM: VMEM memrefs are (8,128)-tiled and
+            # the per-segment DMA offsets r0+k (k=1..n_seg-1) are not
+            # 8-row aligned; HBM is untiled so arbitrary offsets are
+            # legal DMA sources.
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(cos_segs.shape, const3),
+            pl.BlockSpec(msin_segs.shape, const3),
+            pl.BlockSpec(fb.shape, const2),
+            pl.BlockSpec(dct.shape, const2),
         ],
-        out_specs=pl.BlockSpec((1, FRAME_TILE, F),
-                               lambda b, t: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, FRAME_TILE, F), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, F), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, span_pad), jnp.float32),
-            pltpu.VMEM((FRAME_TILE, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_seg, FRAME_TILE, hop_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_seg,)),
         ],
         interpret=interpret,
-    )(samples, jnp.asarray(win), jnp.asarray(cos_m), jnp.asarray(msin_m),
+    )(rows, jnp.asarray(cos_segs), jnp.asarray(msin_segs),
       jnp.asarray(fb), jnp.asarray(dct))
     return out[:, :T, :]

@@ -73,7 +73,7 @@ def init_train_state(cfg: Config, feat_dim: int | None = None) -> dict:
             "step": jnp.zeros((), jnp.int32), "rng": rng}
 
 
-def make_step_fn(cfg: Config, use_pallas_ctc: bool = False):
+def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None):
     """The bare (unjitted) train step ``(state, samples, sample_lens,
     labels, label_lens) -> (state, metrics)``.
 
@@ -81,6 +81,10 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool = False):
     and the mesh path (parallel/dist.py jits it with shardings) — the
     SPMD design means one step function for every topology.
     """
+    from .ops.dispatch import resolve_use_pallas
+    if use_pallas_ctc is None:
+        use_pallas_ctc = cfg.train.use_pallas_ctc
+    use_pallas_ctc = resolve_use_pallas(use_pallas_ctc)
     tx = build_optimizer(cfg.train)
     sched = build_lr_schedule(cfg.train)
 

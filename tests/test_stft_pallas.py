@@ -52,9 +52,10 @@ def test_multi_tile():
 
 
 def test_extract_features_dispatches_pallas(monkeypatch):
-    """cfg.use_pallas=True routes through the kernel (interpret on CPU
-    would fail to compile mosaic, so stub the kernel to verify wiring)."""
+    """cfg.use_pallas=True routes through the kernel when the platform
+    supports it (forced here; kernel runs in interpret mode on CPU)."""
     calls = {}
+    import ctc_asr_tpu.ops.dispatch as dispatch
     import ctc_asr_tpu.ops.stft_pallas as sp
 
     real = sp.features_pallas
@@ -64,6 +65,7 @@ def test_extract_features_dispatches_pallas(monkeypatch):
         return real(samples, cfg, interpret=True)
 
     monkeypatch.setattr(sp, "features_pallas", spy)
+    monkeypatch.setattr(dispatch, "resolve_use_pallas", lambda f: bool(f))
     cfg = FeatureConfig(use_pallas=True, n_mels=32)
     x = _signal(1, 0.5, cfg.sample_rate)
     lens = jnp.asarray([x.shape[1]])
