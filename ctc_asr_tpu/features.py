@@ -124,7 +124,7 @@ def frame_signal(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 
 def log_mel_spectrogram(samples: jnp.ndarray, cfg: FeatureConfig,
-                        log_floor: float = 1e-10) -> jnp.ndarray:
+                        log_floor: float = 1e-6) -> jnp.ndarray:
     """[..., S] float32 samples -> [..., T, n_mels] log-mel features."""
     frames = frame_signal(samples, cfg)                      # [..., T, W]
     frames = frames * jnp.asarray(hann_window(cfg.win_length))

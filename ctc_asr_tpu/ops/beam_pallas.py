@@ -1,0 +1,308 @@
+"""Pallas TPU kernel: CTC prefix beam search (acoustic scoring).
+
+The kernelized counterpart of ``ops/beam.py`` (which replaces
+``tf.nn.ctc_beam_search_decoder``, SURVEY.md §2b row 2) — the beam state
+never leaves VMEM across the whole utterance (BASELINE.json:5
+"beam-search kernels ... at speed-of-light roofline"). Parity-tested
+against the XLA implementation and the Python oracle in
+tests/test_beam_pallas.py (interpret mode on CPU).
+
+Kernel shape dictionary (K = beam width on sublanes, C = classes on
+lanes, U = max decode length on lanes):
+
+- Beam state in VMEM scratch, persistent across the time grid:
+  ``pfx [K, U]`` (f32-coded small ints), ``plen/last/pb/pnb [K, 1]``,
+  dual rolling hashes ``h1/h2 [K, 1]`` (uint32).
+- One timestep = one grid step (grid (B, T), t minor) consuming a
+  ``[1, C]`` log-prob row; all work is VPU/MXU ops on [K, C], [K, K]
+  and [K, U] tiles — NO sorts, NO gathers, NO dynamic indexing
+  (Mosaic-safe by construction):
+
+  * **Merge** (identical prefixes): with unique beam strings, a merge
+    can only pair beam k's "stay" with beam j's "extend by k's last
+    char" — an O(K^2) *pairwise-beam* hash test
+    ``h(j)*M + c_k == h(k)``, not an O((K*C)^2) candidate sort like the
+    XLA path. Each extend merges into at most one stay (first match);
+    merged extends are killed via a [K,K] x [K,C] one-hot matmul.
+  * **Top-K**: K iterations of global-max -> first-index one-hot ->
+    mask-out over the [K, C] candidate score matrix; each iteration
+    accumulates the new beam row as an outer-product add
+    ``(sublane==i) * selected_row`` — dynamic row writes without
+    dynamic indexing.
+  * Beams created from exhausted (NEG-score) candidates get poisoned,
+    step-unique hashes so they can never merge with live beams.
+
+LM shallow fusion is not kernelized (the dense-table gather wants XLA);
+``make_beam_decoder(use_pallas=True)`` with an LM raises and callers use
+the XLA path (ops/beam.py) for BASELINE.json:10.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..text import BLANK_ID, PAD_ID
+
+NEG = -1.0e30
+import numpy as np
+
+_M1, _A1 = np.uint32(1000003), np.uint32(0x9E3779B9)
+_M2, _A2 = np.uint32(69069), np.uint32(0x85EBCA6B)
+_POISON = np.uint32(0xD0000000)
+
+
+def _lse2(a, b):
+    m = jnp.maximum(jnp.maximum(a, b), NEG)
+    return jnp.maximum(m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m)), NEG)
+
+
+def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
+                 pfx, plen, last, pb, pnb, h1, h2,
+                 *, K: int, C: int, U: int, T: int, blank: int):
+    t = pl.program_id(1)
+    lp_row = lp_ref[0]                                   # [1, C]
+    seq_len = len_ref[0, 0]
+
+    subl = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)        # [K,1]
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (K, C), 1)       # [K,C]
+    laneU = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)       # [K,U]
+    sublKK = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    laneKK = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+
+    @pl.when(t == 0)
+    def _init():
+        pfx[...] = jnp.full((K, U), float(PAD_ID), jnp.float32)
+        plen[...] = jnp.zeros((K, 1), jnp.float32)
+        last[...] = jnp.full((K, 1), -1.0, jnp.float32)
+        pb[...] = jnp.where(subl == 0, 0.0, NEG).astype(jnp.float32)
+        pnb[...] = jnp.full((K, 1), NEG, jnp.float32)
+        sub_u = subl.astype(jnp.uint32)
+        h1[...] = jnp.where(subl == 0, jnp.uint32(17), _POISON + sub_u)
+        h2[...] = jnp.where(subl == 0, jnp.uint32(29), _POISON + sub_u)
+
+    valid = t < seq_len
+
+    lastv = last[...]                                    # [K,1] f32
+    pbv, pnbv = pb[...], pnb[...]
+    total = _lse2(pbv, pnbv)                             # [K,1]
+    lanef = laneC.astype(jnp.float32)
+
+    # lp gathered at each beam's last char (one-hot row-sum; -1 -> 0)
+    onehot_last = (lanef == lastv).astype(jnp.float32)   # [K,C]
+    lp_last = jnp.sum(onehot_last * lp_row, axis=1, keepdims=True)
+
+    # ---- stay candidates ------------------------------------------------
+    # lp[blank]: blank is a static column
+    lp_blank = lp_row[0, blank]
+    stay_pb = total + lp_blank                           # [K,1]
+    stay_pnb = jnp.where(lastv >= 0, pnbv + lp_last, NEG)
+
+    # ---- extend candidates [K, C] (cols 0..C-2; blank col = stay slot) --
+    is_rep = lanef == lastv
+    ext_pnb = jnp.where(is_rep, pbv, total) + lp_row     # [K,C]
+    ext_pnb = jnp.where(laneC < C - 1, ext_pnb, NEG)
+
+    # ---- pairwise merge: stay(k) vs extend(j, last_k) -------------------
+    h1r = h1[...].astype(jnp.uint32)                     # [K,1]
+    h2r = h2[...]
+    c_k = lastv                                          # [K,1]
+    c_k_u = jnp.where(c_k >= 0, c_k, 0).astype(jnp.uint32)
+    # hash of (prefix_j + c_k): rows k, cols j
+    h1_j = jnp.broadcast_to(h1r.reshape(1, K), (K, K))
+    h2_j = jnp.broadcast_to(h2r.reshape(1, K), (K, K))
+    h1_ext = h1_j * _M1 + (c_k_u + _A1)                  # [K,K]
+    h2_ext = h2_j * _M2 + (c_k_u + _A2)
+    match = (h1_ext == h1r) & (h2_ext == h2r) & (c_k >= 0)
+    # each extend (col j) merges into the FIRST matching stay row only
+    k_of_match = jnp.where(match, sublKK, K)
+    first_k = jnp.min(k_of_match, axis=0, keepdims=True)  # [1,K]
+    match = match & (sublKK == first_k)
+
+    pb_j = jnp.broadcast_to(pbv.reshape(1, K), (K, K))
+    tot_j = jnp.broadcast_to(total.reshape(1, K), (K, K))
+    last_j = jnp.broadcast_to(lastv.reshape(1, K), (K, K))
+    base_j = jnp.where(last_j == c_k, pb_j, tot_j)       # [K,K]
+    val = jnp.where(match, base_j + lp_last, NEG)
+    mval = jnp.max(val, axis=1, keepdims=True)
+    mval = jnp.maximum(mval, NEG)
+    merged_in = mval + jnp.log(
+        jnp.sum(jnp.exp(val - mval), axis=1, keepdims=True) + 1e-38)
+    stay_pnb = _lse2(stay_pnb, jnp.maximum(merged_in, NEG))
+
+    # kill merged extends: ext (j, c) dies iff some k merged (j, c_k=c)
+    # kill[j, c] = any_k match[k, j] & (last_k == c):
+    # one-hot matmul (match^T [j,k]) @ (onehot_last [k,c]) on the MXU.
+    killed = jax.lax.dot_general(
+        jnp.where(match, 1.0, 0.0), onehot_last,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [j(K), C]
+    ext_pnb = jnp.where(killed > 0.5, NEG, ext_pnb)
+
+    # ---- candidate matrices [K, C] -------------------------------------
+    cand_pb = jnp.where(laneC == blank, stay_pb, NEG)
+    cand_pnb = jnp.where(laneC == blank, stay_pnb, ext_pnb)
+    scores = _lse2(cand_pb, cand_pnb)
+
+    # ---- top-K selection + state rebuild -------------------------------
+    idx2d = jax.lax.broadcasted_iota(jnp.int32, (K, C), 0) * C + laneC
+
+    pfx_f = pfx[...]
+    plen_f = plen[...]
+
+    def sel_body(i, carry):
+        (sc, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2) = carry
+        m = jnp.max(sc)
+        eq = sc >= m                                     # [K,C]
+        pick = jnp.min(jnp.where(eq, idx2d, K * C))
+        sel = idx2d == pick                              # [K,C] one-hot
+        selrow = jnp.sum(jnp.where(sel, 1.0, 0.0), axis=1,
+                         keepdims=True)                  # [K,1] parent
+        c_sel = jnp.sum(jnp.where(sel, lanef, 0.0))      # scalar char
+        is_stay = c_sel == float(blank)
+        is_dead = m <= NEG / 2
+
+        pb_i = jnp.sum(jnp.where(sel, cand_pb, 0.0))
+        pnb_i = jnp.sum(jnp.where(sel, cand_pnb, 0.0))
+        # A dead pick re-selects an already-taken cell (all remaining
+        # scores are NEG-tied, min-index wins): it must NOT inherit that
+        # cell's original finite probabilities.
+        pb_i = jnp.where(is_dead, NEG, pb_i)
+        pnb_i = jnp.where(is_dead, NEG, pnb_i)
+
+        # parent state row (cross-sublane masked reduces)
+        par_pfx = jnp.sum(pfx_f * selrow, axis=0, keepdims=True)  # [1,U]
+        par_len = jnp.sum(plen_f * selrow)
+        par_last = jnp.sum(lastv * selrow)
+        selrow_u = selrow.astype(jnp.uint32)
+        par_h1 = jnp.sum(h1r * selrow_u)
+        par_h2 = jnp.sum(h2r * selrow_u)
+
+        ext = jnp.logical_not(is_stay)
+        new_len = par_len + jnp.where(ext, 1.0, 0.0)
+        new_last = jnp.where(ext, c_sel, par_last)
+        rowm = (laneU == par_len.astype(jnp.int32)) & ext
+        new_pfx_row = jnp.where(rowm[0:1] if rowm.ndim > 1 else rowm,
+                                c_sel, par_pfx)
+        c_u = c_sel.astype(jnp.uint32)
+        nh1 = jnp.where(ext, par_h1 * _M1 + (c_u + _A1), par_h1)
+        nh2 = jnp.where(ext, par_h2 * _M2 + (c_u + _A2), par_h2)
+        # exhausted candidates become poisoned, step-unique dead beams
+        poison_tag = (_POISON + jnp.uint32(1)
+                      + jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(K)
+                      + jnp.asarray(i).astype(jnp.uint32))
+        nh1 = jnp.where(is_dead, poison_tag, nh1)
+        nh2 = jnp.where(is_dead, poison_tag ^ jnp.uint32(0xABCD), nh2)
+
+        rowsel = (subl == i).astype(jnp.float32)         # [K,1]
+        rowsel_u = rowsel.astype(jnp.uint32)
+        n_pfx = n_pfx + rowsel * new_pfx_row             # outer product
+        n_plen = n_plen + rowsel * new_len
+        n_last = n_last + rowsel * jnp.where(is_dead, -1.0, new_last)
+        n_pb = n_pb + rowsel * pb_i
+        n_pnb = n_pnb + rowsel * pnb_i
+        n_h1 = n_h1 + rowsel_u * nh1
+        n_h2 = n_h2 + rowsel_u * nh2
+        sc = jnp.where(sel, NEG, sc)
+        return (sc, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2)
+
+    init = (scores,
+            jnp.zeros((K, U), jnp.float32),
+            jnp.zeros((K, 1), jnp.float32),
+            jnp.zeros((K, 1), jnp.float32),
+            jnp.zeros((K, 1), jnp.float32),
+            jnp.zeros((K, 1), jnp.float32),
+            jnp.zeros((K, 1), jnp.uint32),
+            jnp.zeros((K, 1), jnp.uint32))
+    (_, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2) = \
+        jax.lax.fori_loop(0, K, sel_body, init)
+
+    # ---- commit (frozen once t >= seq_len) -----------------------------
+    def W(ref, new):
+        ref[...] = jnp.where(valid, new, ref[...])
+
+    W(pfx, n_pfx)
+    W(plen, n_plen)
+    W(last, n_last)
+    W(pb, n_pb)
+    W(pnb, n_pnb)
+    h1[...] = jnp.where(valid, n_h1, h1[...])
+    h2[...] = jnp.where(valid, n_h2, h2[...])
+
+    # ---- emit current best (the t == seq_len-1 write survives) ---------
+    fscore = _lse2(pb[...], pnb[...])                    # [K,1]
+    best = jnp.max(fscore)
+    bidx = jnp.min(jnp.where(fscore >= best, subl, K))
+    brow = (subl == bidx).astype(jnp.float32)
+    ids = jnp.sum(pfx[...] * brow, axis=0, keepdims=True)  # [1,U]
+    blen = jnp.sum(plen[...] * brow)
+    ids = jnp.where(laneU[0:1] < blen.astype(jnp.int32), ids,
+                    float(PAD_ID))
+    ids_ref[0] = ids.astype(jnp.int32)[0]
+    outlen_ref[0, 0] = blen.astype(jnp.int32)
+
+
+def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
+                              blank_id: int = BLANK_ID,
+                              max_decode_len: int | None = None,
+                              interpret: bool = False):
+    """[B, T, C] logits -> (ids [B, U], lengths [B]). Acoustic-only."""
+    B, T, C = logits.shape
+    K = beam_width
+    U = max_decode_len or min(max(T, 8), 256)
+    U = ((U + 127) // 128) * 128
+    if blank_id != C - 1:
+        raise ValueError("kernel assumes blank is the last class")
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp_t = jnp.moveaxis(log_probs, 0, 1)                 # [T, B, C]
+
+    kernel = functools.partial(_beam_kernel, K=K, C=C, U=U, T=T,
+                               blank=blank_id)
+    ids, lens = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, C), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, 1), lambda b, t: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, U), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, 1), lambda b, t: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, U), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, U), jnp.float32),   # pfx
+            pltpu.VMEM((K, 1), jnp.float32),   # plen
+            pltpu.VMEM((K, 1), jnp.float32),   # last
+            pltpu.VMEM((K, 1), jnp.float32),   # pb
+            pltpu.VMEM((K, 1), jnp.float32),   # pnb
+            pltpu.VMEM((K, 1), jnp.uint32),    # h1
+            pltpu.VMEM((K, 1), jnp.uint32),    # h2
+        ],
+        interpret=interpret,
+    )(lp_t, logit_lengths.reshape(-1, 1).astype(jnp.int32))
+    return ids, lens[:, 0]
+
+
+def make_beam_decoder_pallas(beam_width: int, table, lm_weight: float,
+                             word_bonus: float, init_ctx: int,
+                             lm_vocab: int):
+    """Factory used by ops.beam.make_beam_decoder(use_pallas=True)."""
+    if table is not None and lm_weight != 0.0:
+        raise NotImplementedError(
+            "LM shallow fusion is not kernelized; use the XLA beam "
+            "decoder (decode.use_pallas=False) for LM fusion")
+
+    @jax.jit
+    def decode(logits, logit_lens):
+        return beam_search_decode_pallas(logits, logit_lens,
+                                         beam_width=beam_width)
+
+    return decode

@@ -74,30 +74,39 @@ def _segment_dft(win_length: int, hop: int, n_fft: int):
     return cos_segs, msin_segs
 
 
+BUF_ROWS = FRAME_TILE + 16  # 144: fits 128 frames + n_seg-1 halo, 8-row-aligned
+
+
 def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
-                 out_ref, blk, sem, *, n_seg: int, use_dct: bool,
+                 out_ref, buf, sem, *, n_seg: int, use_dct: bool,
                  log_floor: float):
-    """Grid (B, num_tiles). rows_hbm: [B, R, hop] in HBM/ANY; blk: VMEM
-    scratch [n_seg, TT, hop]; constants VMEM-resident."""
+    """Grid (B, num_tiles). rows_hbm: [B, R, hop_pad] in HBM; buf: VMEM
+    scratch [BUF_ROWS, hop_pad]; constants VMEM-resident.
+
+    One 8-row-aligned DMA fetches the tile's rows plus halo (Mosaic
+    requires DMA offsets/sizes aligned to the (8,128) tiling, so the
+    k-row segment shifts are realized with in-VMEM sublane rolls, not
+    shifted DMAs)."""
     b = pl.program_id(0)
     tile = pl.program_id(1)
     r0 = tile * FRAME_TILE
 
-    for k in range(n_seg):
-        pltpu.make_async_copy(
-            rows_hbm.at[b, pl.ds(r0 + k, FRAME_TILE), :],
-            blk.at[k], sem.at[k]).start()
-    for k in range(n_seg):
-        pltpu.make_async_copy(
-            rows_hbm.at[b, pl.ds(r0 + k, FRAME_TILE), :],
-            blk.at[k], sem.at[k]).wait()
+    cp = pltpu.make_async_copy(
+        rows_hbm.at[b, pl.ds(r0, BUF_ROWS - 8), :],
+        buf.at[pl.ds(0, BUF_ROWS - 8)], sem)
+    cp.start()
+    cp.wait()
 
-    re = jnp.dot(blk[0], cos_ref[0], preferred_element_type=jnp.float32)
-    im = jnp.dot(blk[0], msin_ref[0], preferred_element_type=jnp.float32)
+    re = jnp.dot(buf[0:FRAME_TILE], cos_ref[0],
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(buf[0:FRAME_TILE], msin_ref[0],
+                 preferred_element_type=jnp.float32)
     for k in range(1, n_seg):
-        re = re + jnp.dot(blk[k], cos_ref[k],
+        # rows k..k+127 == roll up by k, take the first 128 rows
+        seg = pltpu.roll(buf[...], BUF_ROWS - k, axis=0)[0:FRAME_TILE]
+        re = re + jnp.dot(seg, cos_ref[k],
                           preferred_element_type=jnp.float32)
-        im = im + jnp.dot(blk[k], msin_ref[k],
+        im = im + jnp.dot(seg, msin_ref[k],
                           preferred_element_type=jnp.float32)
     power = re * re + im * im                                # [TT, bins]
     mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
@@ -109,7 +118,7 @@ def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
 
 
 def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
-                    log_floor: float = 1e-10,
+                    log_floor: float = 1e-6,
                     interpret: bool = False) -> jnp.ndarray:
     """[B, S] float32 samples -> [B, T, F] features (mel or mfcc).
 
@@ -125,9 +134,9 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
 
     num_tiles = -(-T // FRAME_TILE)
     T_pad = num_tiles * FRAME_TILE
-    # Rows needed: the last tile's frame T_pad-1 reads rows up to
-    # T_pad-1 + n_seg; pad samples to that many whole hops.
-    R = T_pad + n_seg
+    # Rows needed: the last tile DMAs BUF_ROWS-8 rows from r0 = T_pad -
+    # FRAME_TILE; pad samples to that many whole hops.
+    R = T_pad + (BUF_ROWS - 8 - FRAME_TILE)
     S_need = R * hop
     if S_need > S:
         samples = jnp.pad(samples, ((0, 0), (0, S_need - S)))
@@ -166,8 +175,8 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
         out_specs=pl.BlockSpec((1, FRAME_TILE, F), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, F), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n_seg, FRAME_TILE, hop_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_seg,)),
+            pltpu.VMEM((BUF_ROWS, hop_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(rows, jnp.asarray(cos_segs), jnp.asarray(msin_segs),
