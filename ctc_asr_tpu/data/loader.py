@@ -196,19 +196,49 @@ class DataLoader:
         samples, _ = audio_mod.read_wav(u.path, self.spec.sample_rate)
         return u, samples
 
+    def _decode_batch(self, paths: list, max_samples: int):
+        """Batch of wav paths -> (padded [B, S] float32, lengths [B]).
+
+        Fast path: one call into the native C++ decoder
+        (data/native_io.py), which reads/decodes/pads the whole batch in
+        worker threads. Files the native path can't handle (decode
+        failure or a sample rate needing resample) fall back to the
+        scipy path individually.
+        """
+        B = len(paths)
+        samples = None
+        try:
+            from . import native_io
+            if native_io.available():
+                samples, slens, rates = native_io.decode_batch(
+                    paths, max_samples, n_threads=self.cfg.num_workers)
+                redo = [i for i in range(B)
+                        if slens[i] == 0 or rates[i] != self.spec.sample_rate]
+            else:
+                redo = list(range(B))
+        except Exception:
+            redo = list(range(B))
+        if samples is None:
+            samples = np.zeros((B, max_samples), np.float32)
+            slens = np.zeros((B,), np.int32)
+        if redo:
+            def load_one(i):
+                s, _ = audio_mod.read_wav(paths[i], self.spec.sample_rate)
+                return i, s
+            for i, s in self._pool.map(load_one, redo):
+                n = min(len(s), max_samples)
+                samples[i, :] = 0.0
+                samples[i, :n] = s[:n]
+                slens[i] = n
+        return samples, slens
+
     def materialize(self, bucket_id: int, idxs, valid: int) -> Batch:
         bspec = self.spec.buckets[bucket_id]
         B = len(idxs)
-        loaded = list(self._pool.map(self._load_utterance, idxs))
-        samples = np.zeros((B, bspec.max_samples), np.float32)
-        slens = np.zeros((B,), np.int32)
-        transcripts, paths = [], []
-        for i, (u, s) in enumerate(loaded):
-            n = min(len(s), bspec.max_samples)
-            samples[i, :n] = s[:n]
-            slens[i] = n
-            transcripts.append(u.transcript)
-            paths.append(u.path)
+        utts = [self.shard[i] for i in idxs]
+        transcripts = [u.transcript for u in utts]
+        paths = [u.path for u in utts]
+        samples, slens = self._decode_batch(paths, bspec.max_samples)
         labels, llens = text_mod.encode_batch(transcripts,
                                               max_len=bspec.max_label_len)
         audio_secs = float(slens[:valid].sum()) / self.spec.sample_rate

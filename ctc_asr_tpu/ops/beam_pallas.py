@@ -65,8 +65,8 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
                  pfx, plen, last, pb, pnb, h1, h2,
                  *, K: int, C: int, U: int, T: int, blank: int):
     t = pl.program_id(1)
-    lp_row = lp_ref[0]                                   # [1, C]
-    seq_len = len_ref[0, 0]
+    lp_row = lp_ref[0, 0]                                # [1, C]
+    seq_len = len_ref[0, 0, 0]
 
     subl = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)        # [K,1]
     laneC = jax.lax.broadcasted_iota(jnp.int32, (K, C), 1)       # [K,C]
@@ -242,8 +242,8 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
     blen = jnp.sum(plen[...] * brow)
     ids = jnp.where(laneU[0:1] < blen.astype(jnp.int32), ids,
                     float(PAD_ID))
-    ids_ref[0] = ids.astype(jnp.int32)[0]
-    outlen_ref[0, 0] = blen.astype(jnp.int32)
+    ids_ref[0, 0] = ids.astype(jnp.int32)[0]
+    outlen_ref[0, 0, 0] = blen.astype(jnp.int32)
 
 
 def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
@@ -258,7 +258,9 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
     if blank_id != C - 1:
         raise ValueError("kernel assumes blank is the last class")
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lp_t = jnp.moveaxis(log_probs, 0, 1)                 # [T, B, C]
+    # Singleton axes keep every block dim either full-size or size-1 of
+    # a size-1 array dim (Mosaic block-shape divisibility rule).
+    lp_t = jnp.moveaxis(log_probs, 0, 1)[:, :, None, :]  # [T, B, 1, C]
 
     kernel = functools.partial(_beam_kernel, K=K, C=C, U=U, T=T,
                                blank=blank_id)
@@ -266,16 +268,16 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
         kernel,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, C), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, 1), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, 1, 1, C), lambda b, t: (t, b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, U), lambda b, t: (b, 0)),
-            pl.BlockSpec((1, 1), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, 1, U), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, U), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, U), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((K, U), jnp.float32),   # pfx
@@ -287,8 +289,8 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
             pltpu.VMEM((K, 1), jnp.uint32),    # h2
         ],
         interpret=interpret,
-    )(lp_t, logit_lengths.reshape(-1, 1).astype(jnp.int32))
-    return ids, lens[:, 0]
+    )(lp_t, logit_lengths.reshape(-1, 1, 1).astype(jnp.int32))
+    return ids[:, 0], lens[:, 0, 0]
 
 
 def make_beam_decoder_pallas(beam_width: int, table, lm_weight: float,
