@@ -12,7 +12,7 @@ lanes, U = max decode length on lanes):
 
 - Beam state in VMEM scratch, persistent across the time grid:
   ``pfx [K, U]`` (f32-coded small ints), ``plen/last/pb/pnb [K, 1]``,
-  dual rolling hashes ``h1/h2 [K, 1]`` (uint32).
+  dual rolling hashes ``h1/h2 [K, 1]`` (wrapping int32).
 - One timestep = one grid step (grid (B, T), t minor) consuming a
   ``[1, C]`` log-prob row; all work is VPU/MXU ops on [K, C], [K, K]
   and [K, U] tiles — NO sorts, NO gathers, NO dynamic indexing
@@ -51,9 +51,16 @@ from ..text import BLANK_ID, PAD_ID
 NEG = -1.0e30
 import numpy as np
 
-_M1, _A1 = np.uint32(1000003), np.uint32(0x9E3779B9)
-_M2, _A2 = np.uint32(69069), np.uint32(0x85EBCA6B)
-_POISON = np.uint32(0xD0000000)
+
+def _i32(v: int) -> np.int32:
+    # Constant as wrapping int32: Mosaic lacks uint32 reductions, and
+    # int32 two-complement mul/add are bitwise identical mod 2**32.
+    return np.int32(((v + 2**31) % 2**32) - 2**31)
+
+
+_M1, _A1 = _i32(1000003), _i32(0x9E3779B9)
+_M2, _A2 = _i32(69069), _i32(0x85EBCA6B)
+_POISON = _i32(0xD0000000)
 
 
 def _lse2(a, b):
@@ -81,9 +88,9 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         last[...] = jnp.full((K, 1), -1.0, jnp.float32)
         pb[...] = jnp.where(subl == 0, 0.0, NEG).astype(jnp.float32)
         pnb[...] = jnp.full((K, 1), NEG, jnp.float32)
-        sub_u = subl.astype(jnp.uint32)
-        h1[...] = jnp.where(subl == 0, jnp.uint32(17), _POISON + sub_u)
-        h2[...] = jnp.where(subl == 0, jnp.uint32(29), _POISON + sub_u)
+        sub_u = subl
+        h1[...] = jnp.where(subl == 0, jnp.int32(17), _POISON + sub_u)
+        h2[...] = jnp.where(subl == 0, jnp.int32(29), _POISON + sub_u)
 
     valid = t < seq_len
 
@@ -108,10 +115,10 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
     ext_pnb = jnp.where(laneC < C - 1, ext_pnb, NEG)
 
     # ---- pairwise merge: stay(k) vs extend(j, last_k) -------------------
-    h1r = h1[...].astype(jnp.uint32)                     # [K,1]
+    h1r = h1[...]                                        # [K,1] int32
     h2r = h2[...]
     c_k = lastv                                          # [K,1]
-    c_k_u = jnp.where(c_k >= 0, c_k, 0).astype(jnp.uint32)
+    c_k_u = jnp.where(c_k >= 0, c_k, 0).astype(jnp.int32)
     # hash of (prefix_j + c_k): rows k, cols j
     h1_j = jnp.broadcast_to(h1r.reshape(1, K), (K, K))
     h2_j = jnp.broadcast_to(h2r.reshape(1, K), (K, K))
@@ -178,7 +185,7 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         par_pfx = jnp.sum(pfx_f * selrow, axis=0, keepdims=True)  # [1,U]
         par_len = jnp.sum(plen_f * selrow)
         par_last = jnp.sum(lastv * selrow)
-        selrow_u = selrow.astype(jnp.uint32)
+        selrow_u = selrow.astype(jnp.int32)
         par_h1 = jnp.sum(h1r * selrow_u)
         par_h2 = jnp.sum(h2r * selrow_u)
 
@@ -188,18 +195,18 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         rowm = (laneU == par_len.astype(jnp.int32)) & ext
         new_pfx_row = jnp.where(rowm[0:1] if rowm.ndim > 1 else rowm,
                                 c_sel, par_pfx)
-        c_u = c_sel.astype(jnp.uint32)
+        c_u = c_sel.astype(jnp.int32)
         nh1 = jnp.where(ext, par_h1 * _M1 + (c_u + _A1), par_h1)
         nh2 = jnp.where(ext, par_h2 * _M2 + (c_u + _A2), par_h2)
         # exhausted candidates become poisoned, step-unique dead beams
-        poison_tag = (_POISON + jnp.uint32(1)
-                      + jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(K)
-                      + jnp.asarray(i).astype(jnp.uint32))
+        poison_tag = (_POISON + jnp.int32(1)
+                      + jnp.asarray(t).astype(jnp.int32) * jnp.int32(K)
+                      + jnp.asarray(i).astype(jnp.int32))
         nh1 = jnp.where(is_dead, poison_tag, nh1)
-        nh2 = jnp.where(is_dead, poison_tag ^ jnp.uint32(0xABCD), nh2)
+        nh2 = jnp.where(is_dead, poison_tag ^ jnp.int32(0xABCD), nh2)
 
         rowsel = (subl == i).astype(jnp.float32)         # [K,1]
-        rowsel_u = rowsel.astype(jnp.uint32)
+        rowsel_u = rowsel.astype(jnp.int32)
         n_pfx = n_pfx + rowsel * new_pfx_row             # outer product
         n_plen = n_plen + rowsel * new_len
         n_last = n_last + rowsel * jnp.where(is_dead, -1.0, new_last)
@@ -216,8 +223,8 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
             jnp.zeros((K, 1), jnp.float32),
             jnp.zeros((K, 1), jnp.float32),
             jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.uint32),
-            jnp.zeros((K, 1), jnp.uint32))
+            jnp.zeros((K, 1), jnp.int32),
+            jnp.zeros((K, 1), jnp.int32))
     (_, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2) = \
         jax.lax.fori_loop(0, K, sel_body, init)
 
@@ -242,8 +249,8 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
     blen = jnp.sum(plen[...] * brow)
     ids = jnp.where(laneU[0:1] < blen.astype(jnp.int32), ids,
                     float(PAD_ID))
-    ids_ref[0, 0] = ids.astype(jnp.int32)[0]
-    outlen_ref[0, 0, 0] = blen.astype(jnp.int32)
+    ids_ref[0] = ids.astype(jnp.int32)
+    outlen_ref[0] = blen.astype(jnp.int32).reshape(1, 1)
 
 
 def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
@@ -285,8 +292,8 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
             pltpu.VMEM((K, 1), jnp.float32),   # last
             pltpu.VMEM((K, 1), jnp.float32),   # pb
             pltpu.VMEM((K, 1), jnp.float32),   # pnb
-            pltpu.VMEM((K, 1), jnp.uint32),    # h1
-            pltpu.VMEM((K, 1), jnp.uint32),    # h2
+            pltpu.VMEM((K, 1), jnp.int32),     # h1
+            pltpu.VMEM((K, 1), jnp.int32),     # h2
         ],
         interpret=interpret,
     )(lp_t, logit_lengths.reshape(-1, 1, 1).astype(jnp.int32))
