@@ -84,6 +84,9 @@ def _step(state: BeamState, lp: jnp.ndarray, valid,
     """One timestep of prefix beam search for one utterance.
 
     lp: [C] log-softmax frame posteriors; valid: scalar bool.
+    ``lm_table`` may be a dense [n_ctx, V] array OR a callable
+    ``ctx [K] -> rows [K, V]`` (e.g. the model-axis-sharded lookup in
+    parallel/decode_dist.py, which assembles rows with a psum over ICI).
     """
     Cr = C - 1  # number of real (non-blank) characters
     N = K * C   # total candidates: K stay + K*(C-1) extend
@@ -106,7 +109,10 @@ def _step(state: BeamState, lp: jnp.ndarray, valid,
     ext_h1 = state.h1[:, None] * _H1_MUL + (c1[None, :] + _H1_ADD)
     ext_h2 = state.h2[:, None] * _H2_MUL + (c1[None, :] + _H2_ADD)
     if lm_table is not None:
-        lm_rows = lm_table[state.ctx]                    # [K, V]
+        if callable(lm_table):
+            lm_rows = lm_table(state.ctx)                # pluggable lookup
+        else:
+            lm_rows = lm_table[state.ctx]                # [K, V]
         ext_lm = state.lm[:, None] + lm_rows[:, :Cr]
         ext_ctx = (state.ctx[:, None] * lm_vocab + chars[None, :]) \
             % lm_ctx_size
@@ -226,7 +232,8 @@ def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
                        lm_table=None, lm_weight: float = 0.0,
                        word_bonus: float = 0.0,
                        init_ctx: int = 0, lm_vocab: int = 28,
-                       max_decode_len: int | None = None):
+                       max_decode_len: int | None = None,
+                       lm_ctx_size: int | None = None):
     """[B, T, C] logits -> (ids [B, U], lengths [B]).
 
     Pure-JAX reference path (the Pallas kernel in ``beam_pallas.py`` is
@@ -236,7 +243,9 @@ def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
     B, T, C = logits.shape
     U = max_decode_len or min(T, 256)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lm_ctx_size = int(lm_table.shape[0]) if lm_table is not None else 1
+    if lm_ctx_size is None:
+        lm_ctx_size = int(lm_table.shape[0]) \
+            if lm_table is not None and not callable(lm_table) else 1
 
     fn = functools.partial(
         _decode_one, K=beam_width, C=C, U=U, blank_id=blank_id,
