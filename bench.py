@@ -38,8 +38,9 @@ def build_cfg(tiny: bool):
                             bidirectional=True, dropout=0.0)
         batch, seconds = 16, 8.0
     cfg = Config(
+        # Pallas kernels default-on (auto-fallback to pure JAX on CPU).
         features=FeatureConfig(feature_type="mel", n_mels=80,
-                               use_pallas=False),
+                               use_pallas=True),
         model=model,
         data=DataConfig(batch_size=batch),
         train=TrainConfig(learning_rate=1e-4, seed=0),
@@ -83,12 +84,14 @@ def bench_train(cfg, batch, seconds, steps, warmup):
 def bench_decode(cfg, batch, seconds, steps, warmup, beam_width=16):
     import jax
     from ctc_asr_tpu.ops.beam import make_beam_decoder
+    from ctc_asr_tpu.ops.dispatch import pallas_supported
     from ctc_asr_tpu.train import init_train_state, make_eval_step
 
     rng = np.random.default_rng(0)
     state = init_train_state(cfg)
     eval_step = make_eval_step(cfg)
-    decoder = make_beam_decoder(beam_width=beam_width)
+    decoder = make_beam_decoder(beam_width=beam_width,
+                                use_pallas=pallas_supported())
     (samples, slens, _l, _ll), audio_s = make_batch(cfg, batch, seconds,
                                                     rng)
     for _ in range(warmup):
@@ -114,21 +117,29 @@ def main():
                     help="small model/batch (CPU smoke)")
     ap.add_argument("--decode", action="store_true",
                     help="also benchmark beam-decode RTF")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override batch size")
+    ap.add_argument("--seconds", type=float, default=0,
+                    help="override utterance seconds")
     args = ap.parse_args()
 
     import jax
     devs = jax.devices()
     n_chips = len(devs)
     cfg, batch, seconds = build_cfg(args.tiny)
+    if args.batch:
+        batch = args.batch
+    if args.seconds:
+        seconds = args.seconds
 
     tput, step_time = bench_train(cfg, batch, seconds, args.steps,
                                   args.warmup)
     per_chip = tput / n_chips
     extra = {}
     if args.decode:
-        extra["decode_rtf"] = bench_decode(cfg, batch, seconds,
-                                           max(args.steps // 2, 2),
-                                           args.warmup)
+        extra["decode_rtf"] = round(bench_decode(
+            cfg, batch, seconds, max(args.steps // 2, 2),
+            args.warmup), 5)
 
     rec = {
         "metric": "train_throughput",

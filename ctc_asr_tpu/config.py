@@ -112,6 +112,9 @@ class TrainConfig:
     # Pallas CTC alpha/beta kernel (falls back to the pure-JAX scan
     # reference on platforms without Mosaic, i.e. CPU).
     use_pallas_ctc: bool = True
+    # jax.profiler trace dir ("" = off) and heartbeat period (0 = off).
+    profile_dir: str = ""
+    heartbeat_seconds: float = 0.0
     total_steps: int = 100000
     log_every: int = 50
     eval_every: int = 2500

@@ -163,16 +163,25 @@ def train(cfg: Config, max_steps: int | None = None,
     meter = ThroughputMeter()
     best_wer = meta.get("best_wer", float("inf")) if meta else float("inf")
 
+    heartbeat = None
+    if tcfg.heartbeat_seconds > 0:
+        from .utils.heartbeat import Heartbeat
+        heartbeat = Heartbeat(tcfg.heartbeat_seconds).start()
+    from .utils.profiling import maybe_trace
+
     it = iter(loader)
     start_step = int(state["step"])
     t_last = time.perf_counter()
     try:
+      with maybe_trace(tcfg.profile_dir):
         for _ in range(start_step, total):
             batch = next(it)
             state, m = step_fn(state, batch.samples, batch.sample_lengths,
                                batch.labels, batch.label_lengths)
             meter.update(batch.audio_seconds)
             step = int(state["step"])
+            if heartbeat is not None:
+                heartbeat.beat(step)
 
             if step % tcfg.log_every == 0 or step == total:
                 now = time.perf_counter()
@@ -210,4 +219,6 @@ def train(cfg: Config, max_steps: int | None = None,
     finally:
         if hasattr(it, "close"):
             it.close()
+        if heartbeat is not None:
+            heartbeat.stop()
     return state
