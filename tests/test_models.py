@@ -147,3 +147,40 @@ def test_bf16_compute_close_to_f32():
     assert np.asarray(l16).dtype == np.float32  # f32 accumulate/output
     np.testing.assert_allclose(np.asarray(l32), np.asarray(l16),
                                rtol=0.15, atol=0.15)
+
+
+def test_fused_birnn_matches_two_scans():
+    """The single-scan bidirectional must equal running each direction
+    separately (the definitional implementation)."""
+    from ctc_asr_tpu.models.rnn import (birnn_apply, lstm_init,
+                                        rnn_apply, reverse_sequence)
+    rng = jax.random.PRNGKey(0)
+    T, B, F, H = 9, 3, 6, 8
+    params = {"fwd": lstm_init(jax.random.PRNGKey(1), F, H),
+              "bwd": lstm_init(jax.random.PRNGKey(2), F, H)}
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
+    lens = jnp.asarray([9, 5, 2])
+    got = np.asarray(birnn_apply(params, x, lens, "lstm", jnp.float32))
+    fwd = rnn_apply(params["fwd"], x, lens, "lstm", jnp.float32)
+    x_rev = reverse_sequence(x, lens)
+    bwd = rnn_apply(params["bwd"], x_rev, lens, "lstm", jnp.float32)
+    bwd = reverse_sequence(bwd, lens)
+    want = np.asarray(jnp.concatenate([fwd, bwd], axis=-1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bigru_matches_two_scans():
+    from ctc_asr_tpu.models.rnn import (birnn_apply, gru_init,
+                                        rnn_apply, reverse_sequence)
+    T, B, F, H = 7, 2, 4, 6
+    params = {"fwd": gru_init(jax.random.PRNGKey(1), F, H),
+              "bwd": gru_init(jax.random.PRNGKey(2), F, H)}
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
+    lens = jnp.asarray([7, 4])
+    got = np.asarray(birnn_apply(params, x, lens, "gru", jnp.float32))
+    fwd = rnn_apply(params["fwd"], x, lens, "gru", jnp.float32)
+    x_rev = reverse_sequence(x, lens)
+    bwd = rnn_apply(params["bwd"], x_rev, lens, "gru", jnp.float32)
+    bwd = reverse_sequence(bwd, lens)
+    want = np.asarray(jnp.concatenate([fwd, bwd], axis=-1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
