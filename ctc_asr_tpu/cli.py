@@ -162,16 +162,25 @@ def cmd_train_lm(argv):
     p.add_argument("--manifest", required=True, nargs="+")
     p.add_argument("--out", required=True)
     p.add_argument("--order", type=int, default=4)
+    p.add_argument("--words", action="store_true",
+                   help="train a word-level LM (for N-best rescoring) "
+                        "instead of the char LM (for shallow fusion)")
     args = p.parse_args(argv)
     from .data.manifest import read_manifest
     from .ops import lm as lm_mod
     texts = []
     for m in args.manifest:
         texts.extend(u.transcript for u in read_manifest(m))
-    lm = lm_mod.train_char_lm(texts, order=args.order)
-    lm_mod.save_lm(args.out, lm)
-    print(f"wrote {args.out} (order={args.order}, "
-          f"table={lm['table'].shape})")
+    if args.words:
+        wlm = lm_mod.train_word_lm(texts, order=max(args.order, 1))
+        lm_mod.save_word_lm(args.out, wlm)
+        print(f"wrote {args.out} (word LM, order={wlm['order']}, "
+              f"|V|={len(wlm['vocab'])})")
+    else:
+        lm = lm_mod.train_char_lm(texts, order=args.order)
+        lm_mod.save_lm(args.out, lm)
+        print(f"wrote {args.out} (char LM, order={args.order}, "
+              f"table={lm['table'].shape})")
     return 0
 
 

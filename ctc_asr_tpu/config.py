@@ -135,6 +135,11 @@ class DecodeConfig:
     lm_weight: float = 0.8
     word_bonus: float = 1.0
     use_pallas: bool = False  # Pallas beam kernel vs pure-JAX beam
+    # host-side word-LM N-best rescoring (reference's 2nd LM mode)
+    word_lm_path: str = ""
+    rescore_alpha: float = 1.0
+    rescore_beta: float = 0.0
+    nbest: int = 8
 
 
 @dataclass(frozen=True)

@@ -10,6 +10,7 @@ beam decoder (§3.2 hot loop).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
@@ -42,6 +43,52 @@ def make_decoder(cfg: Config):
     raise ValueError(f"unknown decode method {cfg.decode.method!r}")
 
 
+def make_nbest_decoder(cfg: Config):
+    """jitted ``(logits, lens) -> (ids [B,K,U], lens [B,K], scores)``
+    plus the loaded word LM, for host-side rescoring."""
+    from .ops import beam as beam_mod
+    from .ops import lm as lm_mod
+    char_lm = lm_mod.load_lm(cfg.decode.lm_path) if cfg.decode.lm_path \
+        else None
+    word_lm = lm_mod.load_word_lm(cfg.decode.word_lm_path)
+    if char_lm is not None:
+        table = jnp.asarray(char_lm["table"])
+        init_ctx = lm_mod.initial_context(int(char_lm["order"]))
+        lm_weight = cfg.decode.lm_weight
+        word_bonus = cfg.decode.word_bonus
+    else:
+        table, init_ctx, lm_weight, word_bonus = None, 0, 0.0, 0.0
+
+    K = min(cfg.decode.nbest, cfg.decode.beam_width)
+
+    @jax.jit
+    def decode(logits, logit_lens):
+        ids, lens, scores = beam_mod.beam_search_decode(
+            logits, logit_lens, beam_width=cfg.decode.beam_width,
+            lm_table=table, lm_weight=lm_weight, word_bonus=word_bonus,
+            init_ctx=init_ctx, return_nbest=True)
+        return ids[:, :K], lens[:, :K], scores[:, :K]
+
+    def pick_best(ids, lens, scores):
+        """Host: rescore each utterance's N-best, return (ids, lens)."""
+        ids, lens, scores = (np.asarray(ids), np.asarray(lens),
+                             np.asarray(scores))
+        B = ids.shape[0]
+        out_ids = np.empty_like(ids[:, 0])
+        out_lens = np.empty_like(lens[:, 0])
+        for b in range(B):
+            texts = [decode_ids(ids[b, k, :lens[b, k]])
+                     for k in range(ids.shape[1])]
+            i = lm_mod.rescore_nbest(texts, scores[b], word_lm,
+                                     alpha=cfg.decode.rescore_alpha,
+                                     beta=cfg.decode.rescore_beta)
+            out_ids[b] = ids[b, i]
+            out_lens[b] = lens[b, i]
+        return out_ids, out_lens
+
+    return decode, pick_best
+
+
 def evaluate(cfg: Config, params, loader: DataLoader | None = None,
              max_batches: int | None = None, log_samples: int = 3) -> dict:
     """Decode the eval manifest; returns corpus metrics summary."""
@@ -52,7 +99,12 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
                             num_shards=jax.process_count(),
                             drop_last=False)
     eval_step = make_eval_step(cfg)
-    decoder = make_decoder(cfg)
+    rescorer = None
+    if cfg.decode.word_lm_path and cfg.decode.method == "beam":
+        nbest_decode, rescorer = make_nbest_decoder(cfg)
+        decoder = None
+    else:
+        decoder = make_decoder(cfg)
     acc = ErrorRateAccumulator()
     total_audio = 0.0
     import time
@@ -63,7 +115,11 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
             break
         logits, logit_lens = eval_step(params, batch.samples,
                                        batch.sample_lengths)
-        ids, lens = decoder(logits, logit_lens)
+        if rescorer is not None:
+            nb_ids, nb_lens, nb_scores = nbest_decode(logits, logit_lens)
+            ids, lens = rescorer(nb_ids, nb_lens, nb_scores)
+        else:
+            ids, lens = decoder(logits, logit_lens)
         ids, lens = np.asarray(ids), np.asarray(lens)
         for i in range(batch.valid):
             hyp = decode_ids(ids[i, :lens[i]])

@@ -222,8 +222,9 @@ def _decode_one(log_probs, logit_len, K, C, U, blank_id, space_id,
                             (log_probs, jnp.arange(T, dtype=jnp.int32)))
     score = _logaddexp(state.p_b, state.p_nb) \
         + lm_weight * state.lm + word_bonus * state.bonus
-    best = jnp.argmax(score)
-    return state.prefixes[best], state.lengths[best], score[best]
+    # Full beam, best-first (N-best surface for host rescoring).
+    order = jnp.argsort(-score)
+    return (state.prefixes[order], state.lengths[order], score[order])
 
 
 def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
@@ -233,8 +234,12 @@ def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
                        word_bonus: float = 0.0,
                        init_ctx: int = 0, lm_vocab: int = 28,
                        max_decode_len: int | None = None,
-                       lm_ctx_size: int | None = None):
-    """[B, T, C] logits -> (ids [B, U], lengths [B]).
+                       lm_ctx_size: int | None = None,
+                       return_nbest: bool = False):
+    """[B, T, C] logits -> (ids [B, U], lengths [B]), or with
+    ``return_nbest`` the whole best-first beam
+    (ids [B, K, U], lengths [B, K], scores [B, K]) for host-side
+    N-best rescoring (ops.lm.rescore_nbest).
 
     Pure-JAX reference path (the Pallas kernel in ``beam_pallas.py`` is
     parity-tested against this). ``max_decode_len`` caps the emitted
@@ -252,8 +257,10 @@ def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
         space_id=space_id, lm_table=lm_table, lm_weight=lm_weight,
         word_bonus=word_bonus, lm_vocab=lm_vocab,
         lm_ctx_size=lm_ctx_size, init_ctx=init_ctx)
-    prefixes, lengths, _scores = jax.vmap(fn)(log_probs, logit_lengths)
-    return prefixes, lengths
+    prefixes, lengths, scores = jax.vmap(fn)(log_probs, logit_lengths)
+    if return_nbest:
+        return prefixes, lengths, scores
+    return prefixes[:, 0], lengths[:, 0]
 
 
 def make_beam_decoder(beam_width: int, lm=None, lm_weight: float = 0.0,

@@ -123,3 +123,100 @@ def score_text(lm: dict, text: str) -> float:
         total += float(table[ctx, int(c)])
         ctx = next_context(ctx, int(c), order)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Word-level n-gram LM: host-side N-best rescoring (the reference's
+# second LM mode; SURVEY.md §7 M4 "word-level rescoring of final beams
+# on host as fallback")
+# ---------------------------------------------------------------------------
+
+UNK = "<unk>"
+
+
+def train_word_lm(transcripts, order: int = 2) -> dict:
+    """Witten-Bell interpolated word n-gram LM as nested count dicts.
+
+    Kept sparse (vocab is unbounded); scoring backs off to the unigram
+    and an OOV floor. Returns {"order", "vocab", "counts"} (counts[k]
+    maps a context tuple of length k to {word: count}).
+    """
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    counts = [dict() for _ in range(order)]
+    vocab = set()
+    bos = ("<s>",) * (order - 1)
+    for text in transcripts:
+        words = tuple(text.split())
+        vocab.update(words)
+        seq = bos + words + ("</s>",)
+        for i in range(order - 1, len(seq)):
+            w = seq[i]
+            for k in range(order):
+                ctx = seq[i - k:i]
+                d = counts[k].setdefault(ctx, {})
+                d[w] = d.get(w, 0) + 1
+    return {"order": order, "vocab": vocab, "counts": counts}
+
+
+def word_logprob(lm: dict, ctx: tuple, word: str) -> float:
+    """log P(word | ctx) with Witten-Bell interpolation to unigram and
+    a uniform-over-(|V|+1) OOV floor."""
+    counts = lm["counts"]
+    v = max(len(lm["vocab"]), 1)
+    uni = counts[0].get((), {})
+    uni_total = sum(uni.values()) or 1
+    p = (uni.get(word, 0) + 1.0) / (uni_total + v + 1)
+    for k in range(1, lm["order"]):
+        sub = tuple(ctx[len(ctx) - k:]) if k <= len(ctx) else None
+        d = counts[k].get(sub) if sub is not None else None
+        if not d:
+            continue
+        n = sum(d.values())
+        types = len(d)
+        lam = n / (n + types)
+        p = lam * (d.get(word, 0) / n) + (1.0 - lam) * p
+    return float(np.log(max(p, 1e-12)))
+
+
+def score_words(lm: dict, text: str) -> float:
+    """Total log P(text) under the word LM (includes </s>)."""
+    order = lm["order"]
+    ctx = ("<s>",) * (order - 1)
+    total = 0.0
+    for w in text.split() + ["</s>"]:
+        total += word_logprob(lm, ctx, w)
+        ctx = (ctx + (w,))[-(order - 1):] if order > 1 else ()
+    return total
+
+
+def rescore_nbest(nbest_texts, am_scores, word_lm: dict,
+                  alpha: float = 1.0, beta: float = 0.0) -> int:
+    """Pick the best hypothesis index: am + alpha*logP_lm + beta*#words.
+
+    ``nbest_texts``: list of hypothesis strings for ONE utterance;
+    ``am_scores``: matching acoustic(+char-LM) scores.
+    """
+    best_i, best_s = 0, -float("inf")
+    for i, (text, am) in enumerate(zip(nbest_texts, am_scores)):
+        s = float(am) + alpha * score_words(word_lm, text) \
+            + beta * len(text.split())
+        if s > best_s:
+            best_i, best_s = i, s
+    return best_i
+
+
+def save_word_lm(path: str, lm: dict) -> None:
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump({"order": lm["order"], "vocab": sorted(lm["vocab"]),
+                     "counts": [{k: v for k, v in c.items()}
+                                for c in lm["counts"]]}, f)
+
+
+def load_word_lm(path: str) -> dict:
+    import pickle
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    d["vocab"] = set(d["vocab"])
+    return d
