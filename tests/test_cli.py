@@ -1,0 +1,80 @@
+"""CLI surface end-to-end (subprocess, CPU): prepare-synth -> train ->
+evaluate -> transcribe -> train-lm (char + word)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, timeout=240):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run([sys.executable, "-m", "ctc_asr_tpu.cli"]
+                       + list(args), capture_output=True, text=True,
+                       cwd=REPO, env=env, timeout=timeout)
+    assert p.returncode == 0, f"{args}\nSTDOUT:{p.stdout}\nSTDERR:{p.stderr}"
+    return p.stdout
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_full_cli_flow(workdir):
+    # prepare
+    out = run_cli("prepare-synth", "--out", f"{workdir}/corpus",
+                  "--n", "8", "--min-words", "1", "--max-words", "2")
+    manifest = out.strip().splitlines()[-1]
+    assert os.path.exists(manifest)
+
+    common = [
+        "--preset", "pr1_mfcc_uni",
+        f"--data.train_manifest={manifest}",
+        f"--data.eval_manifest={manifest}",
+        "--data.batch_size=4", "--data.num_buckets=1",
+        "--data.min_audio_seconds=0.05",
+        "--model.dense_units=32", "--model.rnn_units=32",
+        "--model.dense_layers=1", "--model.rnn_layers=1",
+        f"--train.train_dir={workdir}/run",
+        "--train.checkpoint_every=5", "--train.log_every=5",
+    ]
+    # train 5 steps
+    out = run_cli("train", *common, "--max-steps", "5")
+    assert "done at step 5" in out
+    assert os.path.exists(f"{workdir}/run/ckpt/step_00000005.npz")
+
+    # evaluate from the train dir
+    out = run_cli("evaluate", *common, "--ckpt", f"{workdir}/run")
+    res = json.loads(out[out.index("{"):])
+    assert res["utterances"] == 8
+
+    # transcribe a wav
+    wav = os.path.join(os.path.dirname(manifest), "wav", "utt00000.wav")
+    out = run_cli("transcribe", *common, "--ckpt", f"{workdir}/run", wav)
+    assert wav in out
+
+    # char + word LMs
+    out = run_cli("train-lm", "--manifest", manifest,
+                  "--out", f"{workdir}/char.npz", "--order", "2")
+    assert "char LM" in out
+    out = run_cli("train-lm", "--manifest", manifest, "--words",
+                  "--out", f"{workdir}/word.pkl", "--order", "2")
+    assert "word LM" in out
+
+
+def test_cli_help_and_unknown():
+    out = run_cli("--help")
+    assert "commands:" in out
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    p = subprocess.run([sys.executable, "-m", "ctc_asr_tpu.cli", "bogus"],
+                       capture_output=True, text=True, cwd=REPO, env=env)
+    assert p.returncode == 2
