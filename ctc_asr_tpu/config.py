@@ -73,6 +73,9 @@ class ModelConfig:
     # numerics
     compute_dtype: str = "bfloat16"  # matmul/activation dtype
     param_dtype: str = "float32"
+    # fused Pallas LSTM sequence kernel (auto-falls back to the XLA
+    # scan on CPU; only applies to rnn_type == "lstm")
+    use_pallas_rnn: bool = True
 
 
 @dataclass(frozen=True)

@@ -130,12 +130,17 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
     x = x * vmask.astype(x.dtype)
 
     # Time-major for the recurrent stack.
+    from ..ops.dispatch import resolve_use_pallas
+    use_pallas_rnn = resolve_use_pallas(cfg.use_pallas_rnn) \
+        and cfg.rnn_type == "lstm"
     x = jnp.swapaxes(x, 0, 1)                      # [T', B, D]
     for layer in params["rnn"]:
         if cfg.bidirectional:
-            x = rnn_mod.birnn_apply(layer, x, out_lens, cfg.rnn_type, cdt)
+            x = rnn_mod.birnn_apply(layer, x, out_lens, cfg.rnn_type,
+                                    cdt, use_pallas=use_pallas_rnn)
         else:
-            x = rnn_mod.rnn_apply(layer, x, out_lens, cfg.rnn_type, cdt)
+            x = rnn_mod.rnn_apply(layer, x, out_lens, cfg.rnn_type, cdt,
+                                  use_pallas=use_pallas_rnn)
         if train:
             x = dropout(next(rngs), x, cfg.dropout, train)
 

@@ -63,10 +63,21 @@ def _mask_tb(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
 
 
 def lstm_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-               compute_dtype=jnp.bfloat16, unroll: int = 8) -> jnp.ndarray:
+               compute_dtype=jnp.bfloat16, unroll: int = 8,
+               use_pallas: bool = False,
+               interpret: bool = False) -> jnp.ndarray:
     """x: [T, B, F] -> [T, B, H]."""
     T, B, _ = x.shape
     H = params["wh"].shape[0]
+    if use_pallas:
+        from ..ops.lstm_pallas import lstm_seq_pallas
+        xproj_p = jnp.dot(x.astype(compute_dtype),
+                          params["wx"].astype(compute_dtype),
+                          preferred_element_type=jnp.float32) + params["b"]
+        start = jnp.zeros((B, 1), jnp.int32)
+        end = lengths.astype(jnp.int32).reshape(-1, 1)
+        return lstm_seq_pallas(xproj_p, params["wh"][None].astype(
+            jnp.bfloat16), start, end, interpret)
     # One big MXU matmul for all input projections.
     xproj = jnp.dot(x.astype(compute_dtype),
                     params["wx"].astype(compute_dtype),
@@ -126,14 +137,47 @@ def gru_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
 
 def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
               rnn_type: str, compute_dtype=jnp.bfloat16,
-              unroll: int = 8) -> jnp.ndarray:
-    fn = {"lstm": lstm_apply, "gru": gru_apply}[rnn_type]
-    return fn(params, x, lengths, compute_dtype, unroll)
+              unroll: int = 8, use_pallas: bool = False) -> jnp.ndarray:
+    if rnn_type == "lstm":
+        return lstm_apply(x=x, params=params, lengths=lengths,
+                          compute_dtype=compute_dtype, unroll=unroll,
+                          use_pallas=use_pallas)
+    return gru_apply(params, x, lengths, compute_dtype, unroll)
+
+
+def _lstm_pallas_bi(stacked, both, lengths, T, B, compute_dtype,
+                    interpret=False):
+    """Fused-BiLSTM via the Pallas sequence kernel (ops/lstm_pallas.py).
+
+    xproj (x@wx + b) stays in XLA so its gradients chain by autodiff;
+    the kernel owns only the recurrence (custom BPTT VJP)."""
+    from ..ops.lstm_pallas import lstm_seq_pallas
+    F = both.shape[-1]
+    xd = both.reshape(T, 2, B, F).astype(compute_dtype)
+    xproj = jax.lax.dot_general(
+        xd, stacked["wx"].astype(compute_dtype),
+        dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32)              # [2, T, B, G]
+    xproj = jnp.moveaxis(xproj, 0, 1) + stacked["b"][None, :, None, :]
+    G = xproj.shape[-1]
+    xproj = xproj.reshape(T, 2 * B, G)
+    start = jnp.concatenate([jnp.zeros((B,), jnp.int32),
+                             (T - lengths).astype(jnp.int32)])
+    end = jnp.concatenate([lengths.astype(jnp.int32),
+                           jnp.full((B,), T, jnp.int32)])
+    # wh rides in bf16: it stays VMEM-resident in both kernels, and the
+    # f32 version together with the f32 dwh scratch overflows the 16MB
+    # VMEM budget (measured 17.1M). Grad precision for wh is bf16.
+    out = lstm_seq_pallas(xproj, stacked["wh"].astype(jnp.bfloat16),
+                          start.reshape(-1, 1), end.reshape(-1, 1),
+                          interpret)
+    return out                                            # [T, 2B, H]
 
 
 def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
                 rnn_type: str, compute_dtype=jnp.bfloat16,
-                unroll: int = 8) -> jnp.ndarray:
+                unroll: int = 8, use_pallas: bool = False,
+                interpret: bool = False) -> jnp.ndarray:
     """params = {"fwd": ..., "bwd": ...}; output [T, B, 2H].
 
     TPU-shaped bidirectionality, two tricks deep:
@@ -166,8 +210,12 @@ def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         "b": jnp.concatenate([params["fwd"]["b"][None],
                               params["bwd"]["b"][None]], 0),
     }
-    out = _stacked_rnn_apply(stacked, both, mask, rnn_type,
-                             compute_dtype, unroll)       # [T, 2B, H]
+    if use_pallas and rnn_type == "lstm":
+        out = _lstm_pallas_bi(stacked, both, lengths, T, B,
+                              compute_dtype, interpret)
+    else:
+        out = _stacked_rnn_apply(stacked, both, mask, rnn_type,
+                                 compute_dtype, unroll)   # [T, 2B, H]
     fwd, bwd = out[:, :B], out[:, B:]
     bwd = jnp.flip(bwd, axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)

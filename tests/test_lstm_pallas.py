@@ -1,0 +1,101 @@
+"""Fused Pallas LSTM sequence kernel vs the lax.scan reference —
+values AND gradients (custom BPTT), interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctc_asr_tpu.models.rnn import (birnn_apply, lstm_apply, lstm_init)
+
+
+def _params_bi(F, H, seed=0):
+    return {"fwd": lstm_init(jax.random.PRNGKey(seed), F, H),
+            "bwd": lstm_init(jax.random.PRNGKey(seed + 1), F, H)}
+
+
+@pytest.mark.parametrize("T,B,F,H,lens", [
+    (6, 2, 4, 8, [6, 3]),
+    (9, 3, 5, 8, [9, 5, 1]),
+])
+def test_uni_forward_parity(T, B, F, H, lens):
+    params = lstm_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lengths = jnp.asarray(lens)
+    want = np.asarray(lstm_apply(params, x, lengths, jnp.float32))
+    got = np.asarray(lstm_apply(params, x, lengths, jnp.float32,
+                                use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_bi_forward_parity():
+    T, B, F, H = 8, 2, 4, 8
+    params = _params_bi(F, H)
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, B, F))
+    lengths = jnp.asarray([8, 5])
+    want = np.asarray(birnn_apply(params, x, lengths, "lstm",
+                                  jnp.float32))
+    got = np.asarray(birnn_apply(params, x, lengths, "lstm", jnp.float32,
+                                 use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_uni_gradient_parity():
+    T, B, F, H = 7, 2, 4, 8
+    params = lstm_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lengths = jnp.asarray([7, 4])
+    w = jax.random.normal(jax.random.PRNGKey(9), (T, B, H))
+
+    def loss(fn_kwargs):
+        def f(p, xx):
+            out = lstm_apply(p, xx, lengths, jnp.float32, **fn_kwargs)
+            return jnp.sum(out * w)
+        return f
+
+    g_ref = jax.grad(loss({}), argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss(dict(use_pallas=True, interpret=True)),
+                     argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_bi_gradient_parity():
+    T, B, F, H = 6, 2, 4, 8
+    params = _params_bi(F, H)
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
+    lengths = jnp.asarray([6, 4])
+    w = jax.random.normal(jax.random.PRNGKey(9), (T, B, 2 * H))
+
+    def loss(kw):
+        def f(p, xx):
+            out = birnn_apply(p, xx, lengths, "lstm", jnp.float32, **kw)
+            return jnp.sum(out * w)
+        return f
+
+    g_ref = jax.grad(loss({}), argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss(dict(use_pallas=True, interpret=True)),
+                     argnums=(0, 1))(params, x)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_pal)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=str(pa))
+
+
+def test_grad_zero_beyond_length():
+    T, B, F, H = 8, 2, 4, 8
+    params = lstm_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lengths = jnp.asarray([5, 8])
+
+    g = jax.grad(lambda xx: jnp.sum(lstm_apply(
+        params, xx, lengths, jnp.float32, use_pallas=True,
+        interpret=True)))(x)
+    g = np.asarray(g)
+    assert np.allclose(g[5:, 0], 0.0)
+    assert not np.allclose(g[:5, 0], 0.0)
