@@ -184,6 +184,24 @@ def cmd_train_lm(argv):
     return 0
 
 
+def cmd_compute_stats(argv):
+    overrides, rest = _split_args(argv)
+    p = argparse.ArgumentParser(prog="compute-stats")
+    _common(p)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-batches", type=int, default=None)
+    args = p.parse_args(rest)
+    cfg = _load_cfg(args, overrides)
+    from .data.manifest import read_manifest
+    from .features import compute_dataset_stats
+    res = compute_dataset_stats(read_manifest(args.manifest), cfg.data,
+                                cfg.features, args.out,
+                                max_batches=args.max_batches)
+    print(f"wrote {args.out} ({int(res['frames'])} frames)")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "evaluate": cmd_evaluate,
@@ -191,6 +209,7 @@ COMMANDS = {
     "prepare-synth": cmd_prepare_synth,
     "prepare-librispeech": cmd_prepare_librispeech,
     "train-lm": cmd_train_lm,
+    "compute-stats": cmd_compute_stats,
 }
 
 

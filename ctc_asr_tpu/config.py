@@ -33,6 +33,9 @@ class FeatureConfig:
     feature_type: str = "mel"  # "mel" | "mfcc"
     # "global" (dataset-level), "utterance" (per-utterance), or "none"
     normalization: str = "utterance"
+    # Dataset-level per-feature stats npz (mean/var [F]) for "global"
+    # mode; computed by `cli compute-stats`. Empty -> batch statistics.
+    stats_path: str = ""
     use_pallas: bool = True  # Pallas STFT kernel vs pure-jnp reference path
 
     @property

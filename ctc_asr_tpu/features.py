@@ -145,12 +145,15 @@ def mfcc(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 
 def normalize_features(feats: jnp.ndarray, frame_lengths: jnp.ndarray,
-                       mode: str = "utterance") -> jnp.ndarray:
-    """Per-utterance (masked) mean/variance normalization.
+                       mode: str = "utterance", stats=None) -> jnp.ndarray:
+    """Per-utterance (masked) or dataset-level mean/variance
+    normalization (the reference supported both, SURVEY.md §2a).
 
     ``feats``: [B, T, F]; ``frame_lengths``: [B]. Padding frames are
     excluded from the statistics and zeroed on output so downstream
-    padding is deterministic.
+    padding is deterministic. ``stats``: optional (mean [F], var [F])
+    dataset-level arrays used by "global" mode; without them, "global"
+    falls back to whole-batch statistics.
     """
     if mode == "none":
         return feats
@@ -164,12 +167,16 @@ def normalize_features(feats: jnp.ndarray, frame_lengths: jnp.ndarray,
                       keepdims=True) / n
         out = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
     elif mode == "global":
-        # Whole-batch statistics (proxy for dataset-level stats; exact
-        # dataset stats can be precomputed and passed via cfg later).
-        total = jnp.sum(maskf)
-        mean = jnp.sum(feats * maskf, axis=(0, 1), keepdims=True) / total
-        var = jnp.sum(jnp.square(feats - mean) * maskf, axis=(0, 1),
-                      keepdims=True) / total
+        if stats is not None:
+            mean = jnp.asarray(stats[0]).reshape(1, 1, -1)
+            var = jnp.asarray(stats[1]).reshape(1, 1, -1)
+        else:
+            # whole-batch fallback when no dataset stats are provided
+            total = jnp.sum(maskf)
+            mean = jnp.sum(feats * maskf, axis=(0, 1),
+                           keepdims=True) / total
+            var = jnp.sum(jnp.square(feats - mean) * maskf, axis=(0, 1),
+                          keepdims=True) / total
         out = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
     else:
         raise ValueError(f"unknown normalization mode {mode!r}")
@@ -191,8 +198,50 @@ def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
     else:
         feats = _jnp_features(samples, cfg)
     flens = frame_lengths_from_sample_lengths(sample_lengths, cfg)
-    feats = normalize_features(feats, flens, cfg.normalization)
+    stats = _load_stats(cfg.stats_path) if cfg.stats_path else None
+    feats = normalize_features(feats, flens, cfg.normalization, stats)
     return feats, flens
+
+
+@functools.lru_cache(maxsize=8)
+def _load_stats(path: str):
+    """(mean [F], var [F]) numpy arrays from a compute-stats npz."""
+    with np.load(path) as z:
+        return np.asarray(z["mean"], np.float32), \
+            np.asarray(z["var"], np.float32)
+
+
+def compute_dataset_stats(manifest, data_cfg, feat_cfg, out_path: str,
+                          max_batches: int | None = None) -> dict:
+    """Accumulate masked per-feature mean/var over a manifest (on
+    device, batched via the loader) and save to ``out_path``."""
+    from .data.loader import DataLoader
+    import dataclasses as _dc
+    fc = _dc.replace(feat_cfg, normalization="none")
+    loader = DataLoader(manifest, data_cfg, fc, drop_last=False)
+    s = None
+    ss = None
+    n = 0.0
+    for bi, batch in enumerate(loader.iter_epoch(0)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        feats, flens = extract_features(
+            jnp.asarray(batch.samples[:batch.valid]),
+            jnp.asarray(batch.sample_lengths[:batch.valid]), fc)
+        T = feats.shape[1]
+        mask = (jnp.arange(T)[None, :] <
+                flens[:, None]).astype(jnp.float32)[..., None]
+        fsum = np.asarray(jnp.sum(feats * mask, axis=(0, 1)))
+        fsq = np.asarray(jnp.sum(jnp.square(feats) * mask, axis=(0, 1)))
+        cnt = float(np.asarray(jnp.sum(mask)))
+        s = fsum if s is None else s + fsum
+        ss = fsq if ss is None else ss + fsq
+        n += cnt
+    mean = s / max(n, 1.0)
+    var = np.maximum(ss / max(n, 1.0) - mean * mean, 1e-8)
+    np.savez(out_path, mean=mean.astype(np.float32),
+             var=var.astype(np.float32), frames=n)
+    return {"mean": mean, "var": var, "frames": n}
 
 
 def _jnp_features(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:

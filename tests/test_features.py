@@ -97,3 +97,32 @@ def test_normalize_modes(cfg):
         assert out.shape == x.shape
     with pytest.raises(ValueError):
         features.normalize_features(x, lens, "bogus")
+
+
+def test_dataset_stats_global_normalization(tmp_path):
+    """compute_dataset_stats + stats_path drives 'global' normalization."""
+    from ctc_asr_tpu.config import DataConfig, FeatureConfig
+    from ctc_asr_tpu.data import read_manifest
+    from ctc_asr_tpu.data.synth import generate_corpus
+    mp = generate_corpus(str(tmp_path / "c"), num_utterances=6, seed=4)
+    manifest = read_manifest(mp)
+    fc = FeatureConfig(n_mels=32, use_pallas=False, normalization="global")
+    dc = DataConfig(batch_size=3, num_buckets=1, num_workers=1,
+                    min_audio_seconds=0.05)
+    stats_path = str(tmp_path / "stats.npz")
+    res = features.compute_dataset_stats(manifest, dc, fc, stats_path)
+    assert res["frames"] > 0
+    assert res["mean"].shape == (32,)
+
+    fc2 = FeatureConfig(n_mels=32, use_pallas=False,
+                        normalization="global", stats_path=stats_path)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    lens = jnp.asarray([16000, 8000])
+    feats, flens = features.extract_features(x, lens, fc2)
+    assert np.isfinite(np.asarray(feats)).all()
+    # differs from the batch-stats fallback (no stats file)
+    fc3 = FeatureConfig(n_mels=32, use_pallas=False,
+                        normalization="global")
+    feats3, _ = features.extract_features(x, lens, fc3)
+    assert not np.allclose(np.asarray(feats), np.asarray(feats3))
