@@ -66,6 +66,9 @@ class ModelConfig:
     conv_channels: tuple = (32, 32)
     conv_kernels: tuple = ((11, 41), (11, 21))  # (time, freq)
     conv_strides: tuple = ((2, 2), (1, 2))
+    # banded-matmul conv formulation (MXU-dense; the small-channel NHWC
+    # convs lane-pad badly on TPU — measured ~25x off roofline)
+    conv_as_matmul: bool = True
     # recurrent stack
     rnn_type: str = "lstm"  # "lstm" | "gru"
     rnn_layers: int = 2

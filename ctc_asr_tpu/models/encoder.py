@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from .layers import (clipped_relu, conv2d_apply, conv2d_init, dense_apply,
-                     dense_init, dropout)
+from .layers import (clipped_relu, conv2d_apply, conv2d_init,
+                     conv2d_matmul_apply, dense_apply, dense_init, dropout)
 from . import rnn as rnn_mod
 
 
@@ -113,9 +113,11 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
                 x = dropout(next(rngs), x, cfg.dropout, train)
         out_lens = frame_lengths.astype(jnp.int32)
     else:  # conv
+        conv_fn = conv2d_matmul_apply if cfg.conv_as_matmul \
+            else conv2d_apply
         x = feats[..., None]                       # [B, T, F, 1] NHWC
         for layer, strides in zip(params["frontend"], cfg.conv_strides):
-            x = conv2d_apply(layer, x, strides, cdt)
+            x = conv_fn(layer, x, strides, cdt)
             x = clipped_relu(x, cfg.relu_clip)
             if train:
                 x = dropout(next(rngs), x, cfg.dropout, train)

@@ -184,3 +184,27 @@ def test_fused_bigru_matches_two_scans():
     bwd = reverse_sequence(bwd, lens)
     want = np.asarray(jnp.concatenate([fwd, bwd], axis=-1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_matmul_matches_conv():
+    """Banded-matmul conv == lax conv (values and gradients)."""
+    from ctc_asr_tpu.models.layers import (conv2d_apply, conv2d_init,
+                                           conv2d_matmul_apply)
+    rng = jax.random.PRNGKey(0)
+    for (kt, kf, cin, cout, st, sf, T, F) in [
+            (5, 7, 1, 4, 2, 2, 21, 16),
+            (3, 5, 4, 8, 1, 2, 10, 12),
+            (11, 21, 2, 4, 2, 2, 30, 40)]:
+        params = conv2d_init(rng, kt, kf, cin, cout)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, T, F, cin))
+        want = conv2d_apply(params, x, (st, sf), jnp.float32)
+        got = conv2d_matmul_apply(params, x, (st, sf), jnp.float32)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        gw = jax.grad(lambda p: jnp.sum(
+            conv2d_apply(p, x, (st, sf), jnp.float32) ** 2))(params)
+        gm = jax.grad(lambda p: jnp.sum(
+            conv2d_matmul_apply(p, x, (st, sf), jnp.float32) ** 2))(params)
+        np.testing.assert_allclose(np.asarray(gm["w"]), np.asarray(gw["w"]),
+                                   rtol=2e-3, atol=2e-3)
