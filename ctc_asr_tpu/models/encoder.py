@@ -134,7 +134,7 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
     # Time-major for the recurrent stack.
     from ..ops.dispatch import resolve_use_pallas
     use_pallas_rnn = resolve_use_pallas(cfg.use_pallas_rnn) \
-        and cfg.rnn_type == "lstm"
+        and cfg.rnn_type in ("lstm", "gru")
     x = jnp.swapaxes(x, 0, 1)                      # [T', B, D]
     for layer in params["rnn"]:
         if cfg.bidirectional:

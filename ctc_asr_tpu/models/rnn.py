@@ -106,10 +106,21 @@ def lstm_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
 
 
 def gru_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-              compute_dtype=jnp.bfloat16, unroll: int = 8) -> jnp.ndarray:
+              compute_dtype=jnp.bfloat16, unroll: int = 8,
+              use_pallas: bool = False,
+              interpret: bool = False) -> jnp.ndarray:
     """x: [T, B, F] -> [T, B, H]. Gate order: r, z, n."""
     T, B, _ = x.shape
     H = params["wh"].shape[0]
+    if use_pallas:
+        from ..ops.lstm_pallas import gru_seq_pallas
+        xproj_p = jnp.dot(x.astype(compute_dtype),
+                          params["wx"].astype(compute_dtype),
+                          preferred_element_type=jnp.float32) + params["b"]
+        start = jnp.zeros((B, 1), jnp.int32)
+        end = lengths.astype(jnp.int32).reshape(-1, 1)
+        return gru_seq_pallas(xproj_p, params["wh"][None].astype(
+            jnp.bfloat16), start, end, interpret)
     xproj = jnp.dot(x.astype(compute_dtype),
                     params["wx"].astype(compute_dtype),
                     preferred_element_type=jnp.float32) + params["b"]
@@ -142,16 +153,19 @@ def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         return lstm_apply(x=x, params=params, lengths=lengths,
                           compute_dtype=compute_dtype, unroll=unroll,
                           use_pallas=use_pallas)
-    return gru_apply(params, x, lengths, compute_dtype, unroll)
+    return gru_apply(params, x, lengths, compute_dtype, unroll,
+                     use_pallas=use_pallas)
 
 
-def _lstm_pallas_bi(stacked, both, lengths, T, B, compute_dtype,
-                    interpret=False):
-    """Fused-BiLSTM via the Pallas sequence kernel (ops/lstm_pallas.py).
+def _rnn_pallas_bi(stacked, both, lengths, T, B, compute_dtype,
+                   rnn_type, interpret=False):
+    """Fused bidirectional RNN via the Pallas sequence kernels
+    (ops/lstm_pallas.py — LSTM and GRU variants).
 
     xproj (x@wx + b) stays in XLA so its gradients chain by autodiff;
     the kernel owns only the recurrence (custom BPTT VJP)."""
-    from ..ops.lstm_pallas import lstm_seq_pallas
+    from ..ops.lstm_pallas import gru_seq_pallas, lstm_seq_pallas
+    seq_fn = lstm_seq_pallas if rnn_type == "lstm" else gru_seq_pallas
     F = both.shape[-1]
     xd = both.reshape(T, 2, B, F).astype(compute_dtype)
     xproj = jax.lax.dot_general(
@@ -168,9 +182,8 @@ def _lstm_pallas_bi(stacked, both, lengths, T, B, compute_dtype,
     # wh rides in bf16: it stays VMEM-resident in both kernels, and the
     # f32 version together with the f32 dwh scratch overflows the 16MB
     # VMEM budget (measured 17.1M). Grad precision for wh is bf16.
-    out = lstm_seq_pallas(xproj, stacked["wh"].astype(jnp.bfloat16),
-                          start.reshape(-1, 1), end.reshape(-1, 1),
-                          interpret)
+    out = seq_fn(xproj, stacked["wh"].astype(jnp.bfloat16),
+                 start.reshape(-1, 1), end.reshape(-1, 1), interpret)
     return out                                            # [T, 2B, H]
 
 
@@ -210,9 +223,9 @@ def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         "b": jnp.concatenate([params["fwd"]["b"][None],
                               params["bwd"]["b"][None]], 0),
     }
-    if use_pallas and rnn_type == "lstm":
-        out = _lstm_pallas_bi(stacked, both, lengths, T, B,
-                              compute_dtype, interpret)
+    if use_pallas and rnn_type in ("lstm", "gru"):
+        out = _rnn_pallas_bi(stacked, both, lengths, T, B,
+                             compute_dtype, rnn_type, interpret)
     else:
         out = _stacked_rnn_apply(stacked, both, mask, rnn_type,
                                  compute_dtype, unroll)   # [T, 2B, H]

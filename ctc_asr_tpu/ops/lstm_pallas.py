@@ -270,3 +270,192 @@ def _bwd_rule(interpret, res, g_out):
 
 
 lstm_seq_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# GRU sequence kernels (same architecture as the LSTM pair; gate order
+# r, z, n matching models/rnn.py; the h-projection's n-third ``hn`` is
+# saved alongside the activated gates because BPTT needs it:
+# n = tanh(xn + r*hn) => dr = dn_pre*hn, and the wh-gradient row for the
+# n gate is d(hproj_n) = dn_pre*r).
+# ---------------------------------------------------------------------------
+
+def _gru_fwd_kernel(xproj_ref, wh_ref, start_ref, end_ref,
+                    h_out_ref, gates_out_ref,
+                    h_c, *, R: int, B: int, H: int, nd: int):
+    """Blocks: xproj [1, R, 3H]; wh [nd, H, 3H]; outs h [1, R, H],
+    gates [1, R, 4H] = (r, z, n, hn); scratch h [R, H]."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_c[...] = jnp.zeros((R, H), jnp.float32)
+
+    h = h_c[...]
+    xp = xproj_ref[0]                                    # [R, 3H]
+    parts = []
+    for d in range(nd):
+        parts.append(jnp.dot(h[d * B:(d + 1) * B].astype(jnp.bfloat16),
+                             wh_ref[d].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32))
+    hproj = jnp.concatenate(parts, axis=0) if nd > 1 else parts[0]
+    hr, hz, hn = (hproj[:, 0 * H:1 * H], hproj[:, 1 * H:2 * H],
+                  hproj[:, 2 * H:3 * H])
+    xr, xz, xn = (xp[:, 0 * H:1 * H], xp[:, 1 * H:2 * H],
+                  xp[:, 2 * H:3 * H])
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h
+
+    m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
+    mf = m.astype(jnp.float32)
+    h2 = mf * h_new + (1.0 - mf) * h
+    h_c[...] = h2
+    h_out_ref[0] = h2 * mf
+    gates_out_ref[0] = jnp.concatenate([r, z, n, hn], axis=1)
+
+
+def _gru_bwd_kernel(gout_ref, gates_ref, hprev_ref, wh_ref,
+                    start_ref, end_ref,
+                    dxproj_ref, dwh_ref, dh_c,
+                    *, R: int, B: int, H: int, nd: int):
+    it = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - it
+
+    @pl.when(it == 0)
+    def _init():
+        dh_c[...] = jnp.zeros((R, H), jnp.float32)
+        dwh_ref[...] = jnp.zeros((nd, H, 3 * H), jnp.float32)
+
+    m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
+    mf = m.astype(jnp.float32)
+    not_first = (t > 0)
+
+    gts = gates_ref[0]
+    r, z = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
+    n, hn = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
+    h_prev = jnp.where(not_first, hprev_ref[0], 0.0)
+
+    dh_total = dh_c[...] + mf * gout_ref[0]
+    dh_new = mf * dh_total
+    dh_prev_direct = (1.0 - mf) * dh_total
+    dz = dh_new * (h_prev - n)
+    dn = dh_new * (1.0 - z)
+    dh_prev_from_new = dh_new * z
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn
+    dhn = dn_pre * r
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+
+    dxproj_ref[0] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+    dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1)  # [R, 3H]
+
+    dh_parts = []
+    for d in range(nd):
+        rows = slice(d * B, (d + 1) * B)
+        dh_parts.append(jax.lax.dot_general(
+            dhproj[rows].astype(jnp.bfloat16),
+            wh_ref[d].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dwh_d = jax.lax.dot_general(
+            h_prev[rows].astype(jnp.bfloat16),
+            dhproj[rows].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwh_ref[d] += dwh_d
+    dh_prev = (jnp.concatenate(dh_parts, axis=0) if nd > 1
+               else dh_parts[0])
+    dh_c[...] = dh_prev_direct + dh_prev_from_new + dh_prev
+
+
+def _gru_run_fwd(xproj, wh, start, end, interpret):
+    T, R, G = xproj.shape          # G = 3H
+    nd, H, _ = wh.shape
+    B = R // nd
+    kernel = functools.partial(_gru_fwd_kernel, R=R, B=B, H=H, nd=nd)
+    const = lambda t: (0, 0, 0)  # noqa: E731
+    const2 = lambda t: (0, 0)    # noqa: E731
+    h_seq, gates = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, G), lambda t: (t, 0, 0)),
+            pl.BlockSpec((nd, H, G), const),
+            pl.BlockSpec((R, 1), const2),
+            pl.BlockSpec((R, 1), const2),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, R, 4 * H), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
+        interpret=interpret,
+    )(xproj, wh, start, end)
+    return h_seq, gates
+
+
+def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
+    T, R, G4 = gates.shape
+    nd, H, G = wh.shape
+    B = R // nd
+    kernel = functools.partial(_gru_bwd_kernel, R=R, B=B, H=H, nd=nd)
+    rev = lambda it: (T - 1 - it, 0, 0)                   # noqa: E731
+    revm1 = lambda it: (jnp.maximum(T - 2 - it, 0), 0, 0)  # noqa: E731
+    const = lambda it: (0, 0, 0)  # noqa: E731
+    const2 = lambda it: (0, 0)    # noqa: E731
+    dxproj, dwh = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, H), rev),        # g_out
+            pl.BlockSpec((1, R, G4), rev),       # gates (r,z,n,hn)
+            pl.BlockSpec((1, R, H), revm1),      # h_seq (t-1)
+            pl.BlockSpec((nd, H, G), const),
+            pl.BlockSpec((R, 1), const2),
+            pl.BlockSpec((R, 1), const2),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, G), rev),
+            pl.BlockSpec((nd, H, G), const),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, G), jnp.float32),
+            jax.ShapeDtypeStruct((nd, H, G), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
+        interpret=interpret,
+    )(g_out, gates, h_seq, wh, start, end)
+    return dxproj, dwh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_seq_pallas(xproj, wh, start, end, interpret=False):
+    """Fused GRU over a whole sequence (see lstm_seq_pallas; xproj is
+    [T, R, 3H], wh [nd, H, 3H] bf16 recommended)."""
+    h_seq, _ = _gru_run_fwd(xproj, wh, start, end, interpret)
+    return h_seq
+
+
+def _gru_fwd_rule(xproj, wh, start, end, interpret=False):
+    h_seq, gates = _gru_run_fwd(xproj, wh, start, end, interpret)
+    return h_seq, (gates, h_seq, wh, start, end)
+
+
+def _gru_bwd_rule(interpret, res, g_out):
+    gates, h_seq, wh, start, end = res
+    dxproj, dwh = _gru_run_bwd(g_out, gates, h_seq, wh, start, end,
+                               interpret)
+    import numpy as np
+    zero_int = np.zeros(start.shape, jax.dtypes.float0)
+    return dxproj, dwh.astype(wh.dtype), zero_int, zero_int
+
+
+gru_seq_pallas.defvjp(_gru_fwd_rule, _gru_bwd_rule)

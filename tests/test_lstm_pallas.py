@@ -99,3 +99,44 @@ def test_grad_zero_beyond_length():
     g = np.asarray(g)
     assert np.allclose(g[5:, 0], 0.0)
     assert not np.allclose(g[:5, 0], 0.0)
+
+
+def test_gru_forward_and_grad_parity():
+    from ctc_asr_tpu.models.rnn import gru_apply, gru_init
+    T, B, F, H = 7, 2, 4, 8
+    params = gru_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lengths = jnp.asarray([7, 4])
+    want = np.asarray(gru_apply(params, x, lengths, jnp.float32))
+    got = np.asarray(gru_apply(params, x, lengths, jnp.float32,
+                               use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (T, B, H))
+
+    def loss(kw):
+        def f(p, xx):
+            return jnp.sum(gru_apply(p, xx, lengths, jnp.float32, **kw)
+                           * w)
+        return f
+
+    g_ref = jax.grad(loss({}), argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss(dict(use_pallas=True, interpret=True)),
+                     argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_bigru_pallas_parity():
+    from ctc_asr_tpu.models.rnn import birnn_apply, gru_init
+    T, B, F, H = 6, 2, 4, 8
+    params = {"fwd": gru_init(jax.random.PRNGKey(1), F, H),
+              "bwd": gru_init(jax.random.PRNGKey(2), F, H)}
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
+    lengths = jnp.asarray([6, 4])
+    want = np.asarray(birnn_apply(params, x, lengths, "gru", jnp.float32))
+    got = np.asarray(birnn_apply(params, x, lengths, "gru", jnp.float32,
+                                 use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
