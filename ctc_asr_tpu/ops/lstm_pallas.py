@@ -91,7 +91,7 @@ def _fwd_kernel(xproj_ref, wh_ref, start_ref, end_ref,
 
 def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
                 wh_ref, start_ref, end_ref,
-                dxproj_ref, dwh_ref,
+                dxproj_ref,
                 dh_c, dc_c, *, R: int, B: int, H: int, nd: int):
     """Grid (T,) with index maps reversed (t = T-1-it). cprev/hprev are
     the same arrays as c_seq/h_seq with a t-1 index map (clamped at 0;
@@ -104,10 +104,6 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
     def _init():
         dh_c[...] = jnp.zeros((R, H), jnp.float32)
         dc_c[...] = jnp.zeros((R, H), jnp.float32)
-        # dwh accumulates straight into the (VMEM-resident, constant-
-        # index) output block: a separate f32 scratch would double the
-        # 8MB and overflow VMEM.
-        dwh_ref[...] = jnp.zeros((nd, H, 4 * H), jnp.float32)
 
     m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
     mf = m.astype(jnp.float32)
@@ -141,7 +137,11 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
 
     dxproj_ref[0] = dgates
 
-    # dh_prev += dgates @ wh^T ; dwh += h_prev^T @ dgates (per direction)
+    # dh_prev += dgates @ wh^T per direction. dwh is NOT accumulated in
+    # the kernel: an [nd*H, 4H] f32 accumulator overflows VMEM at H=800
+    # (measured 20.25M > 16M); instead the host computes it as ONE large
+    # matmul over the whole sequence (h_prev_seq^T @ dxproj_seq) where
+    # the MXU is far more efficient anyway.
     dh_parts = []
     for d in range(nd):
         rows = slice(d * B, (d + 1) * B)
@@ -150,12 +150,6 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
             wh_ref[d].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))         # [B, H]
-        dwh_d = jax.lax.dot_general(
-            h_prev[rows].astype(jnp.bfloat16),
-            dgates[rows].astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [H, 4H]
-        dwh_ref[d] += dwh_d
     dh_prev = (jnp.concatenate(dh_parts, axis=0) if nd > 1
                else dh_parts[0])
 
@@ -210,7 +204,7 @@ def _run_bwd(g_out, gates, c_seq, h_seq, wh, start, end, interpret):
     revm1 = lambda it: (jnp.maximum(T - 2 - it, 0), 0, 0)  # noqa: E731
     const = lambda it: (0, 0, 0)  # noqa: E731
     const2 = lambda it: (0, 0)    # noqa: E731
-    dxproj, dwh = pl.pallas_call(
+    dxproj = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
@@ -223,19 +217,31 @@ def _run_bwd(g_out, gates, c_seq, h_seq, wh, start, end, interpret):
             pl.BlockSpec((R, 1), const2),
             pl.BlockSpec((R, 1), const2),
         ],
-        out_specs=[
-            pl.BlockSpec((1, R, G), rev),
-            pl.BlockSpec((nd, H, G), const),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, R, G), jnp.float32),
-            jax.ShapeDtypeStruct((nd, H, G), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, R, G), rev),
+        out_shape=jax.ShapeDtypeStruct((T, R, G), jnp.float32),
         scratch_shapes=[pltpu.VMEM((R, H), jnp.float32),
                         pltpu.VMEM((R, H), jnp.float32)],
         interpret=interpret,
     )(g_out, gates, c_seq, c_seq, h_seq, wh, start, end)
-    return dxproj, dwh
+    return dxproj
+
+
+def _dwh_from_seq(h_seq, dhproj, B, nd):
+    """dwh[d] = sum_t h_prev[t]^T @ dhproj[t] as one large matmul
+    (h_prev = h_seq shifted by one step, zeros at t=0)."""
+    T, R, H = h_seq.shape
+    G = dhproj.shape[-1]
+    hp = jnp.concatenate(
+        [jnp.zeros((1, R, H), h_seq.dtype), h_seq[:-1]], axis=0)
+    parts = []
+    for d in range(nd):
+        rows = slice(d * B, (d + 1) * B)
+        lhs = hp[:, rows].reshape(-1, H).astype(jnp.bfloat16)
+        rhs = dhproj[:, rows].reshape(-1, G).astype(jnp.bfloat16)
+        parts.append(jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.stack(parts, axis=0)                      # [nd, H, G]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -261,8 +267,12 @@ def _fwd_rule(xproj, wh, start, end, interpret=False):
 
 def _bwd_rule(interpret, res, g_out):
     gates, c_seq, h_seq, wh, start, end = res
-    dxproj, dwh = _run_bwd(g_out, gates, c_seq, h_seq, wh, start, end,
-                           interpret)
+    nd, H, _ = wh.shape
+    B = h_seq.shape[1] // nd
+    dxproj = _run_bwd(g_out, gates, c_seq, h_seq, wh, start, end,
+                      interpret)
+    # For the LSTM, d(hproj) == dxproj (same pre-activation gates).
+    dwh = _dwh_from_seq(h_seq, dxproj, B, nd)
     import numpy as np
     zero_int = np.zeros(start.shape, jax.dtypes.float0)
     # cotangent dtype must match the (possibly bf16) wh input
@@ -318,7 +328,7 @@ def _gru_fwd_kernel(xproj_ref, wh_ref, start_ref, end_ref,
 
 def _gru_bwd_kernel(gout_ref, gates_ref, hprev_ref, wh_ref,
                     start_ref, end_ref,
-                    dxproj_ref, dwh_ref, dh_c,
+                    dxproj_ref, dh_c,
                     *, R: int, B: int, H: int, nd: int):
     it = pl.program_id(0)
     T = pl.num_programs(0)
@@ -327,7 +337,6 @@ def _gru_bwd_kernel(gout_ref, gates_ref, hprev_ref, wh_ref,
     @pl.when(it == 0)
     def _init():
         dh_c[...] = jnp.zeros((R, H), jnp.float32)
-        dwh_ref[...] = jnp.zeros((nd, H, 3 * H), jnp.float32)
 
     m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
     mf = m.astype(jnp.float32)
@@ -353,6 +362,7 @@ def _gru_bwd_kernel(gout_ref, gates_ref, hprev_ref, wh_ref,
     dxproj_ref[0] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
     dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1)  # [R, 3H]
 
+    # dwh accumulates OUTSIDE the kernel (see _dwh_from_seq).
     dh_parts = []
     for d in range(nd):
         rows = slice(d * B, (d + 1) * B)
@@ -361,12 +371,6 @@ def _gru_bwd_kernel(gout_ref, gates_ref, hprev_ref, wh_ref,
             wh_ref[d].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))
-        dwh_d = jax.lax.dot_general(
-            h_prev[rows].astype(jnp.bfloat16),
-            dhproj[rows].astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dwh_ref[d] += dwh_d
     dh_prev = (jnp.concatenate(dh_parts, axis=0) if nd > 1
                else dh_parts[0])
     dh_c[...] = dh_prev_direct + dh_prev_from_new + dh_prev
@@ -411,7 +415,7 @@ def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
     revm1 = lambda it: (jnp.maximum(T - 2 - it, 0), 0, 0)  # noqa: E731
     const = lambda it: (0, 0, 0)  # noqa: E731
     const2 = lambda it: (0, 0)    # noqa: E731
-    dxproj, dwh = pl.pallas_call(
+    dxproj = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
@@ -422,18 +426,12 @@ def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
             pl.BlockSpec((R, 1), const2),
             pl.BlockSpec((R, 1), const2),
         ],
-        out_specs=[
-            pl.BlockSpec((1, R, G), rev),
-            pl.BlockSpec((nd, H, G), const),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, R, G), jnp.float32),
-            jax.ShapeDtypeStruct((nd, H, G), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, R, G), rev),
+        out_shape=jax.ShapeDtypeStruct((T, R, G), jnp.float32),
         scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
         interpret=interpret,
     )(g_out, gates, h_seq, wh, start, end)
-    return dxproj, dwh
+    return dxproj
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -451,8 +449,16 @@ def _gru_fwd_rule(xproj, wh, start, end, interpret=False):
 
 def _gru_bwd_rule(interpret, res, g_out):
     gates, h_seq, wh, start, end = res
-    dxproj, dwh = _gru_run_bwd(g_out, gates, h_seq, wh, start, end,
-                               interpret)
+    nd, H, _ = wh.shape
+    B = h_seq.shape[1] // nd
+    dxproj = _gru_run_bwd(g_out, gates, h_seq, wh, start, end,
+                          interpret)
+    # The wh-cotangent n-column uses d(hproj_n) = dn_pre * r, not
+    # dn_pre (n = tanh(xn + r*hn)); reconstruct from saved r.
+    r = gates[:, :, 0 * H:1 * H]
+    dhproj = jnp.concatenate(
+        [dxproj[:, :, 0:2 * H], dxproj[:, :, 2 * H:3 * H] * r], axis=-1)
+    dwh = _dwh_from_seq(h_seq, dhproj, B, nd)
     import numpy as np
     zero_int = np.zeros(start.shape, jax.dtypes.float0)
     return dxproj, dwh.astype(wh.dtype), zero_int, zero_int
