@@ -76,12 +76,17 @@ def dropout(rng, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # Conv-as-matmul: the DS2 frontend convs have tiny channel counts (1 and
-# 32), which XLA lane-pads to 128 on TPU — measured ~25x off roofline.
-# Reformulated: SAME-pad time, take the kt strided time-tap slices,
-# concatenate them on the feature axis, and multiply by a banded dense
-# matrix built from the conv kernel (freq taps and channels unrolled
-# into the contraction dim). More FLOPs on paper, but fully MXU-dense.
-# Gradients flow through the scatter that builds the banded matrix.
+# 32), which XLA lane-pads to 128 on TPU — measured ~25x off roofline as
+# a 2-D NHWC conv. Reformulation: fold the FREQUENCY kernel into a dense
+# banded matrix [F*cin -> f_out*cout] (one zero-padded shifted kernel
+# copy per output-frequency column), which turns the 2-D conv into a
+# 1-D TIME conv over MXU-sized channels (1280-wide for the DS2 shapes).
+# More FLOPs on paper (F/kf overlap waste ~1.9x) but fully MXU-dense and
+# nothing replicates in HBM. Measured on v5e (B=16, T=800, F=80, both
+# DS2 convs, fwd+bwd): XLA 2-D 21.9 ms; im2col-concat banded matmul
+# 8.7 ms (the concat materializes a kt-times replicated ~180 MB
+# intermediate); this 1-D banded conv 4.6 ms (scripts/diag_conv.py).
+# Gradients flow through the pad/stack that builds the banded matrix.
 # ---------------------------------------------------------------------------
 
 def _same_pad(in_size: int, k: int, s: int):
@@ -90,37 +95,36 @@ def _same_pad(in_size: int, k: int, s: int):
     return out, total // 2, total - total // 2
 
 
-def conv2d_matmul_apply(params: dict, x: jnp.ndarray, strides,
-                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Equivalent of conv2d_apply (NHWC, SAME) as a banded matmul."""
-    w = params["w"]                                   # [kt, kf, cin, cout]
+def _band_matrices(w: jnp.ndarray, F: int, sf: int) -> jnp.ndarray:
+    """[kt, kf, cin, cout] -> per-time-tap banded [kt, F*cin, f_out*cout]."""
     kt, kf, cin, cout = w.shape
-    B, T, F, C = x.shape
-    st, sf = strides
     f_out, pf_lo, _pf_hi = _same_pad(F, kf, sf)
-    t_out, pt_lo, pt_hi = _same_pad(T, kt, st)
-
-    # Banded dense matrix: one zero-padded, shifted copy of the kernel
-    # per output-frequency column (pure pad/stack layout ops — a scatter
-    # formulation would execute millions of scatter rows per step).
     cols = []
     for fo in range(f_out):
         lo = fo * sf - pf_lo
         k_lo = max(0, -lo)
         k_hi = min(kf, F - lo)
         wk = w[:, k_lo:k_hi]                          # [kt, keff, cin, cout]
-        pre = lo + k_lo
-        post = F - (lo + k_hi)
-        cols.append(jnp.pad(wk, ((0, 0), (pre, post), (0, 0), (0, 0))))
+        cols.append(jnp.pad(wk, ((0, 0), (lo + k_lo, F - (lo + k_hi)),
+                                 (0, 0), (0, 0))))
     Wb = jnp.stack(cols, axis=3)                      # [kt, F, cin, fo, co]
-    Wb = Wb.reshape(kt * F * cin, f_out * cout).astype(compute_dtype)
+    return Wb.reshape(kt, F * cin, f_out * cout)
 
-    xp = jnp.pad(x, ((0, 0), (pt_lo, pt_hi), (0, 0), (0, 0)))
-    # kt strided time-tap views, concatenated on the contraction axis
-    taps = [jax.lax.slice_in_dim(xp, dt, dt + (t_out - 1) * st + 1, st,
-                                 axis=1).reshape(B, t_out, F * C)
-            for dt in range(kt)]
-    xcat = jnp.concatenate(taps, axis=-1).astype(compute_dtype)
-    y = jnp.dot(xcat, Wb)                             # [B, t_out, f_out*cout]
+
+def conv2d_matmul_apply(params: dict, x: jnp.ndarray, strides,
+                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Equivalent of conv2d_apply (NHWC, SAME) as a 1-D banded conv."""
+    w = params["w"]                                   # [kt, kf, cin, cout]
+    cout = w.shape[3]
+    B, T, F, C = x.shape
+    st, sf = strides
+    Wb = _band_matrices(w, F, sf)                     # [kt, F*cin, fo*co]
+    f_out = Wb.shape[2] // cout
+    y = jax.lax.conv_general_dilated(
+        x.reshape(B, T, F * C).astype(compute_dtype),
+        Wb.astype(compute_dtype),
+        window_strides=(st,), padding="SAME",
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    t_out = y.shape[1]
     return y.astype(jnp.float32).reshape(B, t_out, f_out, cout) \
         + params["b"]

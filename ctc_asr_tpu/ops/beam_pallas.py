@@ -32,9 +32,16 @@ lanes, U = max decode length on lanes):
   * Beams created from exhausted (NEG-score) candidates get poisoned,
     step-unique hashes so they can never merge with live beams.
 
-LM shallow fusion is not kernelized (the dense-table gather wants XLA);
-``make_beam_decoder(use_pallas=True)`` with an LM raises and callers use
-the XLA path (ops/beam.py) for BASELINE.json:10.
+LM shallow fusion (BASELINE.json:10) IS kernelized: the dense char
+n-gram table (ops/lm.py) rides in VMEM as a grid-constant input block
+(bf16 above 4096 contexts — order-4 is 22016 rows = 5.6 MB padded), and
+per-beam rows are fetched with K dynamic sublane slices (``pl.ds`` on a
+masked-reduce scalar context id) per timestep — the TPU analog of the
+XLA path's ``table[ctx]`` gather. Per-beam LM state (context id,
+accumulated log P, word-bonus count) lives in three more [K, 1]
+scratches; ranking adds ``lm_weight * lm + word_bonus * bonus`` exactly
+as ops/beam.py does, while pb/pnb stay purely acoustic. Order-5 tables
+(614k contexts) exceed VMEM and fall back to the XLA decoder.
 """
 
 from __future__ import annotations
@@ -68,9 +75,14 @@ def _lse2(a, b):
     return jnp.maximum(m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m)), NEG)
 
 
-def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
-                 pfx, plen, last, pb, pnb, h1, h2,
-                 *, K: int, C: int, U: int, T: int, blank: int):
+def _beam_kernel(lp_ref, len_ref, *refs,
+                 K: int, C: int, U: int, T: int, blank: int, space: int,
+                 has_lm: bool, lm_weight: float, word_bonus: float,
+                 lm_vocab: int, ctx_size: int, init_ctx: int):
+    if has_lm:
+        table_ref, refs = refs[0], refs[1:]
+    (ids_ref, outlen_ref, pfx, plen, last, pb, pnb, h1, h2,
+     ctx, lmacc, bon) = refs
     t = pl.program_id(1)
     lp_row = lp_ref[0, 0]                                # [1, C]
     seq_len = len_ref[0, 0, 0]
@@ -91,6 +103,9 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         sub_u = subl
         h1[...] = jnp.where(subl == 0, jnp.int32(17), _POISON + sub_u)
         h2[...] = jnp.where(subl == 0, jnp.int32(29), _POISON + sub_u)
+        ctx[...] = jnp.full((K, 1), init_ctx, jnp.int32)
+        lmacc[...] = jnp.zeros((K, 1), jnp.float32)
+        bon[...] = jnp.zeros((K, 1), jnp.float32)
 
     valid = t < seq_len
 
@@ -150,10 +165,39 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         preferred_element_type=jnp.float32)              # [j(K), C]
     ext_pnb = jnp.where(killed > 0.5, NEG, ext_pnb)
 
+    # ---- LM fusion state [K, C] (see module docstring) ------------------
+    lmv, bonv, ctxv = lmacc[...], bon[...], ctx[...]
+    if has_lm:
+        # per-beam table row via K dynamic sublane slices: the context
+        # id is a masked-reduce scalar, the row lands on beam i's
+        # sublane through an outer-product add (no dynamic row writes).
+        def _gather_row(i, acc):
+            ctx_i = jnp.sum(jnp.where(subl == i, ctxv, 0))
+            row = table_ref[pl.ds(ctx_i, 1), :]
+            return acc + (jnp.where(subl == i, 1.0, 0.0)
+                          * row.astype(jnp.float32))
+        lm_rows = jax.lax.fori_loop(
+            0, K, _gather_row, jnp.zeros((K, C), jnp.float32))
+        # stay (blank col) keeps the accumulated LM score; extends add
+        # log P(c | ctx). The table's blank column is zero-padded, but
+        # the where keeps the stay slot exact even for bf16 tables.
+        cand_lm = lmv + jnp.where(laneC == blank, 0.0, lm_rows)
+        cand_bon = bonv + jnp.where(
+            (laneC == space) & (laneC != blank), 1.0, 0.0)
+        cand_ctx = jnp.where(
+            laneC == blank, ctxv,
+            (ctxv * lm_vocab + laneC) % ctx_size).astype(jnp.int32)
+    else:
+        cand_lm = jnp.zeros((K, C), jnp.float32)
+        cand_bon = jnp.zeros((K, C), jnp.float32)
+        cand_ctx = jnp.zeros((K, C), jnp.int32)
+
     # ---- candidate matrices [K, C] -------------------------------------
     cand_pb = jnp.where(laneC == blank, stay_pb, NEG)
     cand_pnb = jnp.where(laneC == blank, stay_pnb, ext_pnb)
     scores = _lse2(cand_pb, cand_pnb)
+    if has_lm:
+        scores = scores + lm_weight * cand_lm + word_bonus * cand_bon
 
     # ---- top-K selection + state rebuild -------------------------------
     idx2d = jax.lax.broadcasted_iota(jnp.int32, (K, C), 0) * C + laneC
@@ -162,7 +206,8 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
     plen_f = plen[...]
 
     def sel_body(i, carry):
-        (sc, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2) = carry
+        (sc, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2,
+         n_lm, n_bon, n_ctx) = carry
         m = jnp.max(sc)
         eq = sc >= m                                     # [K,C]
         pick = jnp.min(jnp.where(eq, idx2d, K * C))
@@ -180,6 +225,10 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         # cell's original finite probabilities.
         pb_i = jnp.where(is_dead, NEG, pb_i)
         pnb_i = jnp.where(is_dead, NEG, pnb_i)
+        lm_i = jnp.where(is_dead, 0.0, jnp.sum(jnp.where(sel, cand_lm, 0.0)))
+        bon_i = jnp.where(is_dead, 0.0,
+                          jnp.sum(jnp.where(sel, cand_bon, 0.0)))
+        ctx_i = jnp.where(is_dead, 0, jnp.sum(jnp.where(sel, cand_ctx, 0)))
 
         # parent state row (cross-sublane masked reduces)
         par_pfx = jnp.sum(pfx_f * selrow, axis=0, keepdims=True)  # [1,U]
@@ -214,8 +263,12 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
         n_pnb = n_pnb + rowsel * pnb_i
         n_h1 = n_h1 + rowsel_u * nh1
         n_h2 = n_h2 + rowsel_u * nh2
+        n_lm = n_lm + rowsel * lm_i
+        n_bon = n_bon + rowsel * bon_i
+        n_ctx = n_ctx + rowsel_u * ctx_i
         sc = jnp.where(sel, NEG, sc)
-        return (sc, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2)
+        return (sc, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2,
+                n_lm, n_bon, n_ctx)
 
     init = (scores,
             jnp.zeros((K, U), jnp.float32),
@@ -224,8 +277,12 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
             jnp.zeros((K, 1), jnp.float32),
             jnp.zeros((K, 1), jnp.float32),
             jnp.zeros((K, 1), jnp.int32),
+            jnp.zeros((K, 1), jnp.int32),
+            jnp.zeros((K, 1), jnp.float32),
+            jnp.zeros((K, 1), jnp.float32),
             jnp.zeros((K, 1), jnp.int32))
-    (_, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2) = \
+    (_, n_pfx, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2,
+     n_lm, n_bon, n_ctxs) = \
         jax.lax.fori_loop(0, K, sel_body, init)
 
     # ---- commit (frozen once t >= seq_len) -----------------------------
@@ -237,11 +294,16 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
     W(last, n_last)
     W(pb, n_pb)
     W(pnb, n_pnb)
+    W(lmacc, n_lm)
+    W(bon, n_bon)
     h1[...] = jnp.where(valid, n_h1, h1[...])
     h2[...] = jnp.where(valid, n_h2, h2[...])
+    ctx[...] = jnp.where(valid, n_ctxs, ctx[...])
 
     # ---- emit current best (the t == seq_len-1 write survives) ---------
     fscore = _lse2(pb[...], pnb[...])                    # [K,1]
+    if has_lm:
+        fscore = fscore + lm_weight * lmacc[...] + word_bonus * bon[...]
     best = jnp.max(fscore)
     bidx = jnp.min(jnp.where(fscore >= best, subl, K))
     brow = (subl == bidx).astype(jnp.float32)
@@ -253,31 +315,69 @@ def _beam_kernel(lp_ref, len_ref, ids_ref, outlen_ref,
     outlen_ref[0] = blen.astype(jnp.int32).reshape(1, 1)
 
 
+# LM tables above this many contexts ride in VMEM as bf16 (order-4 =
+# 21952 rows: 5.6 MB lane-padded vs 11.3 MB f32); beyond _LM_MAX_CTX
+# (order-5 = 614k rows) the table cannot fit and callers must use the
+# XLA decoder.
+_LM_F32_MAX_CTX = 4096
+_LM_MAX_CTX = 65536
+
+
 def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
                               blank_id: int = BLANK_ID,
                               max_decode_len: int | None = None,
-                              interpret: bool = False):
-    """[B, T, C] logits -> (ids [B, U], lengths [B]). Acoustic-only."""
+                              interpret: bool = False,
+                              lm_table=None, lm_weight: float = 0.0,
+                              word_bonus: float = 0.0, init_ctx: int = 0,
+                              lm_vocab: int = 28, space_id: int = 0):
+    """[B, T, C] logits -> (ids [B, U], lengths [B]).
+
+    With ``lm_table`` ([n_ctx, V] dense char-LM log-probs, ops/lm.py),
+    scoring matches ops.beam.beam_search_decode's shallow fusion."""
     B, T, C = logits.shape
     K = beam_width
     U = max_decode_len or min(max(T, 8), 256)
     U = ((U + 127) // 128) * 128
     if blank_id != C - 1:
         raise ValueError("kernel assumes blank is the last class")
+    has_lm = lm_table is not None and (lm_weight != 0.0 or word_bonus != 0.0)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     # Singleton axes keep every block dim either full-size or size-1 of
     # a size-1 array dim (Mosaic block-shape divisibility rule).
     lp_t = jnp.moveaxis(log_probs, 0, 1)[:, :, None, :]  # [T, B, 1, C]
 
-    kernel = functools.partial(_beam_kernel, K=K, C=C, U=U, T=T,
-                               blank=blank_id)
+    inputs = [lp_t, logit_lengths.reshape(-1, 1, 1).astype(jnp.int32)]
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, C), lambda b, t: (t, b, 0, 0)),
+        pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
+    ]
+    ctx_size = 1
+    if has_lm:
+        n_ctx, V = lm_table.shape
+        if V > C - 1:
+            raise ValueError(f"LM vocab {V} exceeds non-blank classes")
+        if n_ctx > _LM_MAX_CTX:
+            raise NotImplementedError(
+                f"LM table with {n_ctx} contexts exceeds VMEM; use the "
+                "XLA beam decoder (decode.use_pallas=False)")
+        ctx_size = n_ctx
+        tdt = jnp.float32 if n_ctx <= _LM_F32_MAX_CTX else jnp.bfloat16
+        # pad vocab -> C columns so table rows align with candidate lanes
+        # (the blank column is zero and never read through the fusion
+        # where-mask).
+        table = jnp.pad(jnp.asarray(lm_table, tdt), ((0, 0), (0, C - V)))
+        # grid-constant block: fetched once, VMEM-resident across (b, t)
+        inputs.append(table)
+        in_specs.append(pl.BlockSpec((n_ctx, C), lambda b, t: (0, 0)))
+
+    kernel = functools.partial(
+        _beam_kernel, K=K, C=C, U=U, T=T, blank=blank_id, space=space_id,
+        has_lm=has_lm, lm_weight=lm_weight, word_bonus=word_bonus,
+        lm_vocab=lm_vocab, ctx_size=ctx_size, init_ctx=init_ctx)
     ids, lens = pl.pallas_call(
         kernel,
         grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, C), lambda b, t: (t, b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, U), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
@@ -294,9 +394,12 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
             pltpu.VMEM((K, 1), jnp.float32),   # pnb
             pltpu.VMEM((K, 1), jnp.int32),     # h1
             pltpu.VMEM((K, 1), jnp.int32),     # h2
+            pltpu.VMEM((K, 1), jnp.int32),     # ctx (LM context id)
+            pltpu.VMEM((K, 1), jnp.float32),   # lmacc (sum log P_lm)
+            pltpu.VMEM((K, 1), jnp.float32),   # bon (word-bonus count)
         ],
         interpret=interpret,
-    )(lp_t, logit_lengths.reshape(-1, 1, 1).astype(jnp.int32))
+    )(*inputs)
     return ids[:, 0], lens[:, 0, 0]
 
 
@@ -304,14 +407,19 @@ def make_beam_decoder_pallas(beam_width: int, table, lm_weight: float,
                              word_bonus: float, init_ctx: int,
                              lm_vocab: int):
     """Factory used by ops.beam.make_beam_decoder(use_pallas=True)."""
-    if table is not None and lm_weight != 0.0:
+    if callable(table):
         raise NotImplementedError(
-            "LM shallow fusion is not kernelized; use the XLA beam "
-            "decoder (decode.use_pallas=False) for LM fusion")
+            "sharded LM lookup is XLA-only; use decode.use_pallas=False")
+    if table is not None and table.shape[0] > _LM_MAX_CTX:
+        raise NotImplementedError(
+            f"LM table with {table.shape[0]} contexts exceeds VMEM; use "
+            "the XLA beam decoder (decode.use_pallas=False)")
 
     @jax.jit
     def decode(logits, logit_lens):
-        return beam_search_decode_pallas(logits, logit_lens,
-                                         beam_width=beam_width)
+        return beam_search_decode_pallas(
+            logits, logit_lens, beam_width=beam_width, lm_table=table,
+            lm_weight=lm_weight, word_bonus=word_bonus, init_ctx=init_ctx,
+            lm_vocab=lm_vocab)
 
     return decode

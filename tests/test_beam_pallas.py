@@ -73,3 +73,65 @@ def test_blank_not_last_raises():
     with pytest.raises(ValueError):
         beam_search_decode_pallas(logits, jnp.asarray([4]), blank_id=2,
                                   interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# LM shallow fusion in-kernel (dense char n-gram table in VMEM,
+# per-beam dynamic-slice row gather) vs the XLA fusion path.
+# ---------------------------------------------------------------------------
+
+def _tiny_lm(order):
+    from ctc_asr_tpu.ops import lm as lm_mod
+    texts = ["the cat sat on the mat", "a quick brown fox",
+             "hello world how are you",
+             "this is a test of the language model fusion path"]
+    lm = lm_mod.train_char_lm(texts * 3, order=order)
+    return lm, lm_mod.initial_context(order)
+
+
+@pytest.mark.parametrize("seed,B,T,K,order,w,bonus", [
+    (0, 2, 16, 8, 2, 0.5, 0.0),
+    (1, 3, 24, 8, 3, 0.6, 0.5),
+    (2, 1, 30, 16, 3, 1.2, 1.0),
+])
+def test_lm_fusion_matches_xla(seed, B, T, K, order, w, bonus):
+    lm, init_ctx = _tiny_lm(order)
+    table = jnp.asarray(lm["table"])
+    rng = np.random.default_rng(seed)
+    C = 29
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 2.0
+    lens = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    want = beam_search_decode(
+        jnp.asarray(logits), jnp.asarray(lens), beam_width=K,
+        lm_table=table, lm_weight=w, word_bonus=bonus, init_ctx=init_ctx)
+    got = beam_search_decode_pallas(
+        jnp.asarray(logits), jnp.asarray(lens), beam_width=K,
+        lm_table=table, lm_weight=w, word_bonus=bonus, init_ctx=init_ctx,
+        interpret=True)
+    assert _decode_lists(*got) == _decode_lists(*want)
+
+
+def test_lm_fusion_changes_output():
+    """With a heavy LM weight the fused decode must differ from the
+    acoustic-only decode on ambiguous posteriors (sanity that the LM
+    terms actually reach the ranking)."""
+    lm, init_ctx = _tiny_lm(3)
+    table = jnp.asarray(lm["table"])
+    rng = np.random.default_rng(7)
+    B, T, C = 4, 40, 29
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    lens = np.full(B, T, np.int32)
+    plain = beam_search_decode_pallas(
+        jnp.asarray(logits), jnp.asarray(lens), beam_width=8,
+        interpret=True)
+    fused = beam_search_decode_pallas(
+        jnp.asarray(logits), jnp.asarray(lens), beam_width=8,
+        lm_table=table, lm_weight=3.0, init_ctx=init_ctx, interpret=True)
+    assert _decode_lists(*plain) != _decode_lists(*fused)
+
+
+def test_lm_order5_falls_back():
+    from ctc_asr_tpu.ops.beam_pallas import make_beam_decoder_pallas
+    big = np.zeros((28 ** 4, 28), np.float32)
+    with pytest.raises(NotImplementedError):
+        make_beam_decoder_pallas(8, big, 0.5, 0.0, 0, 28)
