@@ -61,12 +61,28 @@ def make_nbest_decoder(cfg: Config):
 
     K = min(cfg.decode.nbest, cfg.decode.beam_width)
 
+    from .ops.dispatch import resolve_use_pallas
+    use_pallas = resolve_use_pallas(cfg.decode.use_pallas)
+    if use_pallas:
+        from .ops import beam_pallas
+        use_pallas = (table is None
+                      or table.shape[0] <= beam_pallas._LM_MAX_CTX)
+
     @jax.jit
     def decode(logits, logit_lens):
-        ids, lens, scores = beam_mod.beam_search_decode(
-            logits, logit_lens, beam_width=cfg.decode.beam_width,
-            lm_table=table, lm_weight=lm_weight, word_bonus=word_bonus,
-            init_ctx=init_ctx, return_nbest=True)
+        if use_pallas:
+            from .ops import beam_pallas
+            ids, lens, scores = beam_pallas.beam_search_decode_pallas(
+                logits, logit_lens, beam_width=cfg.decode.beam_width,
+                lm_table=table, lm_weight=lm_weight,
+                word_bonus=word_bonus, init_ctx=init_ctx,
+                return_nbest=True)
+        else:
+            ids, lens, scores = beam_mod.beam_search_decode(
+                logits, logit_lens, beam_width=cfg.decode.beam_width,
+                lm_table=table, lm_weight=lm_weight,
+                word_bonus=word_bonus, init_ctx=init_ctx,
+                return_nbest=True)
         return ids[:, :K], lens[:, :K], scores[:, :K]
 
     def pick_best(ids, lens, scores):

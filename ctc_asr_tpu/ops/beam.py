@@ -282,8 +282,16 @@ def make_beam_decoder(beam_width: int, lm=None, lm_weight: float = 0.0,
 
     if use_pallas:
         from . import beam_pallas
-        return beam_pallas.make_beam_decoder_pallas(
-            beam_width, table, lm_weight, word_bonus, init_ctx, lm_vocab)
+        if table is not None and table.shape[0] > beam_pallas._LM_MAX_CTX:
+            import warnings
+            warnings.warn(
+                f"char-LM table with {table.shape[0]} contexts exceeds "
+                "the Pallas kernel's VMEM budget; falling back to the "
+                "XLA beam decoder")
+        else:
+            return beam_pallas.make_beam_decoder_pallas(
+                beam_width, table, lm_weight, word_bonus, init_ctx,
+                lm_vocab)
 
     @jax.jit
     def decode(logits, logit_lens):

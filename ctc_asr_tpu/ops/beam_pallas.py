@@ -22,8 +22,9 @@ lanes, U = max decode length on lanes):
     can only pair beam k's "stay" with beam j's "extend by k's last
     char" — an O(K^2) *pairwise-beam* hash test
     ``h(j)*M + c_k == h(k)``, not an O((K*C)^2) candidate sort like the
-    XLA path. Each extend merges into at most one stay (first match);
-    merged extends are killed via a [K,K] x [K,C] one-hot matmul.
+    XLA path. A parent column j may match several stay rows k (they are
+    distinct extend cells (j, c_k)); every match is a real merge.
+    Merged extends are killed via a [K,K] x [K,C] one-hot matmul.
   * **Top-K**: K iterations of global-max -> first-index one-hot ->
     mask-out over the [K, C] candidate score matrix; each iteration
     accumulates the new beam row as an outer-product add
@@ -78,9 +79,12 @@ def _lse2(a, b):
 def _beam_kernel(lp_ref, len_ref, *refs,
                  K: int, C: int, U: int, T: int, blank: int, space: int,
                  has_lm: bool, lm_weight: float, word_bonus: float,
-                 lm_vocab: int, ctx_size: int, init_ctx: int):
+                 lm_vocab: int, ctx_size: int, init_ctx: int,
+                 emit_nbest: bool = False):
     if has_lm:
         table_ref, refs = refs[0], refs[1:]
+    if emit_nbest:
+        score_ref, refs = refs[2], refs[:2] + refs[3:]
     (ids_ref, outlen_ref, pfx, plen, last, pb, pnb, h1, h2,
      ctx, lmacc, bon) = refs
     t = pl.program_id(1)
@@ -90,8 +94,6 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     subl = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)        # [K,1]
     laneC = jax.lax.broadcasted_iota(jnp.int32, (K, C), 1)       # [K,C]
     laneU = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)       # [K,U]
-    sublKK = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    laneKK = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
 
     @pl.when(t == 0)
     def _init():
@@ -140,10 +142,12 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     h1_ext = h1_j * _M1 + (c_k_u + _A1)                  # [K,K]
     h2_ext = h2_j * _M2 + (c_k_u + _A2)
     match = (h1_ext == h1r) & (h2_ext == h2r) & (c_k >= 0)
-    # each extend (col j) merges into the FIRST matching stay row only
-    k_of_match = jnp.where(match, sublKK, K)
-    first_k = jnp.min(k_of_match, axis=0, keepdims=True)  # [1,K]
-    match = match & (sublKK == first_k)
+    # A column j may match SEVERAL stay rows k — those are different
+    # extend cells (j, c_k1), (j, c_k2): every one is a real merge.
+    # (An earlier "first matching stay only" guard here dropped the
+    # second merge and bootstrapped duplicate beams; with unique beam
+    # strings one extend CELL can only ever match one stay, so no
+    # double-merge guard is needed.)
 
     pb_j = jnp.broadcast_to(pbv.reshape(1, K), (K, K))
     tot_j = jnp.broadcast_to(total.reshape(1, K), (K, K))
@@ -169,13 +173,20 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     lmv, bonv, ctxv = lmacc[...], bon[...], ctx[...]
     if has_lm:
         # per-beam table row via K dynamic sublane slices: the context
-        # id is a masked-reduce scalar, the row lands on beam i's
-        # sublane through an outer-product add (no dynamic row writes).
+        # id is a masked-reduce scalar; Mosaic requires the dynamic row
+        # index to be provably 8-aligned, so load the aligned 8-row
+        # block at (ctx//8)*8 and mask-select the row (host side pads
+        # n_ctx to a multiple of 8). The row lands on beam i's sublane
+        # through an outer-product add (no dynamic row writes).
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
+
         def _gather_row(i, acc):
             ctx_i = jnp.sum(jnp.where(subl == i, ctxv, 0))
-            row = table_ref[pl.ds(ctx_i, 1), :]
-            return acc + (jnp.where(subl == i, 1.0, 0.0)
-                          * row.astype(jnp.float32))
+            base = (ctx_i // 8) * 8
+            blk = table_ref[pl.ds(base, 8), :].astype(jnp.float32)
+            row = jnp.sum(jnp.where(sub8 == ctx_i - base, blk, 0.0),
+                          axis=0, keepdims=True)          # [1, C]
+            return acc + jnp.where(subl == i, 1.0, 0.0) * row
         lm_rows = jax.lax.fori_loop(
             0, K, _gather_row, jnp.zeros((K, C), jnp.float32))
         # stay (blank col) keeps the accumulated LM score; extends add
@@ -304,6 +315,15 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     fscore = _lse2(pb[...], pnb[...])                    # [K,1]
     if has_lm:
         fscore = fscore + lm_weight * lmacc[...] + word_bonus * bon[...]
+    if emit_nbest:
+        # whole beam, unsorted (host side argsorts by score): pfx rows
+        # masked to their lengths, plus per-beam fused scores.
+        lenk = plen[...].astype(jnp.int32)               # [K,1]
+        ids_k = jnp.where(laneU < lenk, pfx[...], float(PAD_ID))
+        ids_ref[0] = ids_k.astype(jnp.int32)
+        outlen_ref[0] = lenk
+        score_ref[0] = fscore
+        return
     best = jnp.max(fscore)
     bidx = jnp.min(jnp.where(fscore >= best, subl, K))
     brow = (subl == bidx).astype(jnp.float32)
@@ -329,8 +349,12 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
                               interpret: bool = False,
                               lm_table=None, lm_weight: float = 0.0,
                               word_bonus: float = 0.0, init_ctx: int = 0,
-                              lm_vocab: int = 28, space_id: int = 0):
-    """[B, T, C] logits -> (ids [B, U], lengths [B]).
+                              lm_vocab: int = 28, space_id: int = 0,
+                              return_nbest: bool = False):
+    """[B, T, C] logits -> (ids [B, U], lengths [B]), or with
+    ``return_nbest`` the whole beam best-first
+    (ids [B, K, U], lengths [B, K], scores [B, K]) for host N-best
+    rescoring — same surface as ops.beam.beam_search_decode.
 
     With ``lm_table`` ([n_ctx, V] dense char-LM log-probs, ops/lm.py),
     scoring matches ops.beam.beam_search_decode's shallow fusion."""
@@ -362,30 +386,41 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
                 "XLA beam decoder (decode.use_pallas=False)")
         ctx_size = n_ctx
         tdt = jnp.float32 if n_ctx <= _LM_F32_MAX_CTX else jnp.bfloat16
-        # pad vocab -> C columns so table rows align with candidate lanes
-        # (the blank column is zero and never read through the fusion
-        # where-mask).
-        table = jnp.pad(jnp.asarray(lm_table, tdt), ((0, 0), (0, C - V)))
+        # pad vocab -> C columns so table rows align with candidate
+        # lanes (the blank column is zero and never read through the
+        # fusion where-mask), and rows -> multiple of 8 so the kernel's
+        # aligned 8-row block loads stay in bounds.
+        n_pad = (-n_ctx) % 8
+        table = jnp.pad(jnp.asarray(lm_table, tdt),
+                        ((0, n_pad), (0, C - V)))
         # grid-constant block: fetched once, VMEM-resident across (b, t)
         inputs.append(table)
-        in_specs.append(pl.BlockSpec((n_ctx, C), lambda b, t: (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((n_ctx + n_pad, C), lambda b, t: (0, 0)))
 
     kernel = functools.partial(
         _beam_kernel, K=K, C=C, U=U, T=T, blank=blank_id, space=space_id,
         has_lm=has_lm, lm_weight=lm_weight, word_bonus=word_bonus,
-        lm_vocab=lm_vocab, ctx_size=ctx_size, init_ctx=init_ctx)
-    ids, lens = pl.pallas_call(
+        lm_vocab=lm_vocab, ctx_size=ctx_size, init_ctx=init_ctx,
+        emit_nbest=return_nbest)
+    kout = K if return_nbest else 1
+    out_specs = [
+        pl.BlockSpec((1, kout, U), lambda b, t: (b, 0, 0)),
+        pl.BlockSpec((1, kout, 1), lambda b, t: (b, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, kout, U), jnp.int32),
+        jax.ShapeDtypeStruct((B, kout, 1), jnp.int32),
+    ]
+    if return_nbest:
+        out_specs.append(pl.BlockSpec((1, K, 1), lambda b, t: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, K, 1), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, U), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, U), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((K, U), jnp.float32),   # pfx
             pltpu.VMEM((K, 1), jnp.float32),   # plen
@@ -400,6 +435,15 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
         ],
         interpret=interpret,
     )(*inputs)
+    if return_nbest:
+        ids, lens, scores = outs
+        scores = scores[..., 0]                          # [B, K]
+        order = jnp.argsort(-scores, axis=1)
+        ids = jnp.take_along_axis(ids, order[..., None], axis=1)
+        lens = jnp.take_along_axis(lens[..., 0], order, axis=1)
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        return ids, lens, scores
+    ids, lens = outs
     return ids[:, 0], lens[:, 0, 0]
 
 

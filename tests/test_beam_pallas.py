@@ -135,3 +135,39 @@ def test_lm_order5_falls_back():
     big = np.zeros((28 ** 4, 28), np.float32)
     with pytest.raises(NotImplementedError):
         make_beam_decoder_pallas(8, big, 0.5, 0.0, 0, 28)
+
+
+def test_no_duplicate_beams():
+    """Regression: a parent column matching several stay rows must merge
+    ALL of them — an early first-match-only guard split mass into
+    duplicate beams (caught at seed 106)."""
+    for seed in (106, 1, 9):
+        rng = np.random.default_rng(seed)
+        T = 16
+        lg = jnp.asarray(rng.standard_normal((1, T, 29)).astype(np.float32) * 2)
+        ids, lens, scores = beam_search_decode_pallas(
+            lg, jnp.asarray([T]), beam_width=8, interpret=True,
+            return_nbest=True)
+        live = [tuple(int(x) for x in np.asarray(ids[0, k, :int(lens[0, k])]))
+                for k in range(8) if float(scores[0, k]) > -1e29]
+        assert len(live) == len(set(live)), f"duplicate beams at seed {seed}"
+
+
+def test_nbest_matches_xla():
+    rng = np.random.default_rng(5)
+    B, T, C, K = 2, 14, 29, 8
+    logits = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 2)
+    lens = jnp.asarray(np.full(B, T, np.int32))
+    xi, xl, xs = beam_search_decode(logits, lens, beam_width=K,
+                                    return_nbest=True)
+    pi, plens, ps = beam_search_decode_pallas(logits, lens, beam_width=K,
+                                              interpret=True,
+                                              return_nbest=True)
+    for b in range(B):
+        for k in range(K):
+            if float(xs[b, k]) < -1e29:
+                continue
+            want = list(np.asarray(xi[b, k, :int(xl[b, k])]))
+            got = list(np.asarray(pi[b, k, :int(plens[b, k])]))
+            assert want == got, (b, k)
+            assert abs(float(xs[b, k]) - float(ps[b, k])) < 1e-3
