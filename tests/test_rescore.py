@@ -1,5 +1,7 @@
 """Word-LM N-best rescoring (host-side, reference's 2nd LM mode)."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -84,3 +86,61 @@ def test_nbest_evaluate_path(tmp_path):
     res = evaluate(cfg, state["params"], loader=loader, log_samples=0)
     assert res["utterances"] == 6
     assert 0 <= res["wer"]  # untrained model; we only check the plumbing
+
+
+def test_nbest_evaluate_path_pallas(tmp_path):
+    """Same plumbing through the Pallas kernel's N-best emit (interpret
+    mode resolves on CPU via decode.use_pallas='interpret'? no —
+    force the kernel path by monkeypatching dispatch)."""
+    from ctc_asr_tpu.config import (Config, DataConfig, DecodeConfig,
+                                    FeatureConfig, ModelConfig)
+    from ctc_asr_tpu.data import DataLoader, read_manifest
+    from ctc_asr_tpu.data.synth import generate_corpus
+    from ctc_asr_tpu import evaluate as ev
+    from ctc_asr_tpu.ops import beam as beam_mod
+    from ctc_asr_tpu.ops import beam_pallas
+    from ctc_asr_tpu.train import init_train_state
+    import jax.numpy as jnp
+
+    mp = generate_corpus(str(tmp_path / "c"), num_utterances=4, seed=3,
+                         min_words=1, max_words=2)
+    manifest = read_manifest(mp)
+    texts = [u.transcript for u in manifest]
+    wlm = lm_mod.train_word_lm(texts, order=2)
+    wlm_path = str(tmp_path / "wlm.pkl")
+    lm_mod.save_word_lm(wlm_path, wlm)
+    clm = lm_mod.train_char_lm(texts, order=2)
+    clm_path = str(tmp_path / "clm.npz")
+    lm_mod.save_lm(clm_path, clm)
+
+    cfg = Config(
+        features=FeatureConfig(feature_type="mfcc", n_mfcc=13, n_mels=26,
+                               use_pallas=False),
+        model=ModelConfig(frontend="dense", dense_layers=1, dense_units=32,
+                          rnn_layers=1, rnn_units=32, dropout=0.0,
+                          compute_dtype="float32", use_pallas_rnn=False),
+        data=DataConfig(batch_size=2, num_buckets=1, num_workers=1,
+                        min_audio_seconds=0.05),
+        decode=DecodeConfig(method="beam", beam_width=8, nbest=4,
+                            lm_path=clm_path, lm_weight=0.4,
+                            word_lm_path=wlm_path, use_pallas=True),
+    )
+    state = init_train_state(cfg)
+    loader = DataLoader(manifest, cfg.data, cfg.features, drop_last=False)
+
+    # On CPU resolve_use_pallas() is False; patch the kernel entry to
+    # interpret mode and the resolver to True so the kernel path runs.
+    import ctc_asr_tpu.ops.dispatch as dispatch
+    orig_resolve = dispatch.resolve_use_pallas
+    orig_decode = beam_pallas.beam_search_decode_pallas
+    dispatch.resolve_use_pallas = lambda flag=True: bool(flag)
+    beam_pallas.beam_search_decode_pallas = functools.partial(
+        orig_decode, interpret=True)
+    try:
+        res = ev.evaluate(cfg, state["params"], loader=loader,
+                          log_samples=0)
+    finally:
+        dispatch.resolve_use_pallas = orig_resolve
+        beam_pallas.beam_search_decode_pallas = orig_decode
+    assert res["utterances"] == 4
+    assert 0 <= res["wer"]
