@@ -69,6 +69,12 @@ class ModelConfig:
     # banded-matmul conv formulation (MXU-dense; the small-channel NHWC
     # convs lane-pad badly on TPU — measured ~25x off roofline)
     conv_as_matmul: bool = True
+    # first-party Pallas banded-conv kernel (ops/conv_pallas.py). Off by
+    # default: XLA's 1-D banded conv is already near roofline for the
+    # DS2 shapes (diag_conv7: 1.6 vs 2.2 ms fwd+bwd) — the kernel exists
+    # for shapes/fusions XLA handles poorly and as the BASELINE.json:5
+    # conv-frontend kernel; parity-tested either way.
+    use_pallas_conv: bool = False
     # recurrent stack
     rnn_type: str = "lstm"  # "lstm" | "gru"
     rnn_layers: int = 2

@@ -113,8 +113,14 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
                 x = dropout(next(rngs), x, cfg.dropout, train)
         out_lens = frame_lengths.astype(jnp.int32)
     else:  # conv
-        conv_fn = conv2d_matmul_apply if cfg.conv_as_matmul \
-            else conv2d_apply
+        from ..ops.dispatch import resolve_use_pallas
+        if resolve_use_pallas(cfg.use_pallas_conv):
+            from ..ops.conv_pallas import conv2d_pallas_apply
+            conv_fn = conv2d_pallas_apply
+        elif cfg.conv_as_matmul:
+            conv_fn = conv2d_matmul_apply
+        else:
+            conv_fn = conv2d_apply
         x = feats[..., None]                       # [B, T, F, 1] NHWC
         for layer, strides in zip(params["frontend"], cfg.conv_strides):
             x = conv_fn(layer, x, strides, cdt)

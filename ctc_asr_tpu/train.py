@@ -114,7 +114,7 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None):
     return step_fn
 
 
-def make_train_step(cfg: Config, use_pallas_ctc: bool = False,
+def make_train_step(cfg: Config, use_pallas_ctc: bool | None = None,
                     donate: bool = True):
     """Single-chip jitted train step (see make_step_fn)."""
     step_fn = make_step_fn(cfg, use_pallas_ctc)

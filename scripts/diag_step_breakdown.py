@@ -1,9 +1,13 @@
-"""Honest per-component timing on the axon TPU.
+"""Honest per-component timing on the axon TPU (RTT-corrected).
 
 block_until_ready is unreliable through the tunnel and host fetches pay
 full-array transfers, so each component is timed as N dependency-chained
 iterations inside ONE jitted scan (output perturbs the params by
-sum(out)*1e-30, preventing DCE), with a single scalar fetch at the end.
+sum(out)*1e-30, preventing DCE), with a single scalar fetch at the end
+whose round-trip latency is SUBTRACTED (the tunnel RTT is ~25 ms; at
+N_CHAIN=10 without subtraction every row was inflated by ~2.5 ms/iter,
+which mis-attributed most of the step budget — see BASELINE.md
+measurement-protocol note).
 """
 
 import sys, os, time
@@ -13,16 +17,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ctc_asr_tpu.config import Config, FeatureConfig, ModelConfig, TrainConfig
+from ctc_asr_tpu.config import Config, DataConfig, FeatureConfig, \
+    ModelConfig, TrainConfig
 from ctc_asr_tpu import features as feat_mod
 from ctc_asr_tpu.models import apply_encoder, init_params
 from ctc_asr_tpu.ops.ctc_ref import ctc_loss
 
-N_CHAIN = 10
+N_CHAIN = 50
+RTT = None
+
+
+def _rtt():
+    x = jax.device_put(jnp.float32(1.0))
+    for _ in range(2):
+        float(x + 1)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(x + 1)
+    return (time.perf_counter() - t0) / 5
 
 
 def timed_chain(name, params, body):
     """body(params) -> scalar-ish output; returns seconds per iteration."""
+    global RTT
 
     @jax.jit
     def run(p):
@@ -35,10 +52,12 @@ def timed_chain(name, params, body):
         return jax.tree_util.tree_leaves(p2)[0].ravel()[0]
 
     float(run(params))  # compile + settle
+    if RTT is None:
+        RTT = _rtt()
     t0 = time.perf_counter()
-    s = float(run(params))
-    dt = (time.perf_counter() - t0) / N_CHAIN
-    print(f"{name:34s} {dt*1000:9.2f} ms/iter", flush=True)
+    float(run(params))
+    dt = (time.perf_counter() - t0 - RTT) / N_CHAIN
+    print(f"{name:34s} {dt*1000:9.3f} ms/iter", flush=True)
     return dt
 
 
@@ -88,25 +107,75 @@ def main():
     # fwd + bwd (loss grad) on full model
     params, model = mk(full)
 
-    def fwd_bwd(p):
-        def loss_fn(pp):
-            logits, logit_lens = apply_encoder(pp, feats, flens, model)
-            return ctc_loss(logits, logit_lens, labels, llens,
-                            use_pallas=True)
-        l, g = jax.value_and_grad(loss_fn)(p)
-        return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+    def mk_fwd_bwd(use_pallas):
+        def fwd_bwd(p):
+            def loss_fn(pp):
+                logits, logit_lens = apply_encoder(pp, feats, flens, model)
+                return ctc_loss(logits, logit_lens, labels, llens,
+                                use_pallas=use_pallas)
+            l, g = jax.value_and_grad(loss_fn)(p)
+            return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+        return fwd_bwd
 
-    timed_chain("full fwd+bwd (pallas ctc)", params, fwd_bwd)
+    timed_chain("full fwd+bwd (pallas ctc)", params, mk_fwd_bwd(True))
+    timed_chain("full fwd+bwd (ref ctc)", params, mk_fwd_bwd(False))
 
-    def fwd_bwd_ref(p):
-        def loss_fn(pp):
-            logits, logit_lens = apply_encoder(pp, feats, flens, model)
-            return ctc_loss(logits, logit_lens, labels, llens,
-                            use_pallas=False)
-        l, g = jax.value_and_grad(loss_fn)(p)
-        return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+    # optimizer alone (Adam update on the full param tree)
+    from ctc_asr_tpu.train import build_optimizer, init_train_state, \
+        make_step_fn
+    cfg = Config(features=fcfg, model=full,
+                 data=DataConfig(batch_size=B),
+                 train=TrainConfig(learning_rate=1e-4, seed=0))
+    state = init_train_state(cfg)
+    tx = build_optimizer(cfg.train)
+    grads = jax.tree.map(lambda a: (a * 1e-6).astype(a.dtype),
+                         state["params"])
 
-    timed_chain("full fwd+bwd (ref ctc)", params, fwd_bwd_ref)
+    def opt_only(st):
+        updates, opt_state = tx.update(grads, st["opt_state"],
+                                       st["params"])
+        import optax
+        params2 = optax.apply_updates(st["params"], updates)
+        return {**st, "params": params2, "opt_state": opt_state}, None
+
+    def opt_body(st):
+        st2, _ = opt_only(st)
+        return jax.tree_util.tree_leaves(st2["params"])[0].ravel()[0] * 0
+
+    # chain via the state itself
+    global RTT
+
+    @jax.jit
+    def opt_run(st):
+        def step(carry, _):
+            c2, _ = opt_only(carry)
+            return c2, None
+        st2, _ = jax.lax.scan(step, st, None, length=N_CHAIN)
+        return jax.tree_util.tree_leaves(st2["params"])[0].ravel()[0]
+
+    float(opt_run(state))
+    t0 = time.perf_counter()
+    float(opt_run(state))
+    dt = (time.perf_counter() - t0 - RTT) / N_CHAIN
+    print(f"{'optimizer(Adam) only':34s} {dt*1000:9.3f} ms/iter", flush=True)
+
+    # FULL train step (features + fwd + bwd + Adam) chained via state
+    step_fn = make_step_fn(cfg)
+
+    @jax.jit
+    def step_run(st):
+        def step(carry, _):
+            c2, _m = step_fn(carry, samples, slens, labels, llens)
+            return c2, None
+        st2, _ = jax.lax.scan(step, st, None, length=N_CHAIN)
+        return jax.tree_util.tree_leaves(st2["params"])[0].ravel()[0]
+
+    float(step_run(state))
+    t0 = time.perf_counter()
+    float(step_run(state))
+    dt = (time.perf_counter() - t0 - RTT) / N_CHAIN
+    print(f"{'FULL train step (scan-chained)':34s} {dt*1000:9.3f} ms/iter",
+          flush=True)
 
 
 if __name__ == "__main__":
