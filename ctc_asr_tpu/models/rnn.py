@@ -73,11 +73,14 @@ def lstm_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         from ..ops.lstm_pallas import lstm_seq_pallas
         xproj_p = jnp.dot(x.astype(compute_dtype),
                           params["wx"].astype(compute_dtype),
-                          preferred_element_type=jnp.float32) + params["b"]
-        start = jnp.zeros((B, 1), jnp.int32)
-        end = lengths.astype(jnp.int32).reshape(-1, 1)
-        return lstm_seq_pallas(xproj_p, params["wh"][None].astype(
-            jnp.bfloat16), start, end, interpret)
+                          preferred_element_type=jnp.float32)
+        start = jnp.zeros((1, B, 1), jnp.int32)
+        end = lengths.astype(jnp.int32).reshape(1, -1, 1)
+        out = lstm_seq_pallas(
+            xproj_p[None].astype(jnp.bfloat16), params["b"][None],
+            params["wh"][None].astype(jnp.bfloat16), start, end,
+            interpret)
+        return out[0]                                  # [T, B, H] bf16
     # One big MXU matmul for all input projections.
     xproj = jnp.dot(x.astype(compute_dtype),
                     params["wx"].astype(compute_dtype),
@@ -116,11 +119,14 @@ def gru_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         from ..ops.lstm_pallas import gru_seq_pallas
         xproj_p = jnp.dot(x.astype(compute_dtype),
                           params["wx"].astype(compute_dtype),
-                          preferred_element_type=jnp.float32) + params["b"]
-        start = jnp.zeros((B, 1), jnp.int32)
-        end = lengths.astype(jnp.int32).reshape(-1, 1)
-        return gru_seq_pallas(xproj_p, params["wh"][None].astype(
-            jnp.bfloat16), start, end, interpret)
+                          preferred_element_type=jnp.float32)
+        start = jnp.zeros((1, B, 1), jnp.int32)
+        end = lengths.astype(jnp.int32).reshape(1, -1, 1)
+        out = gru_seq_pallas(
+            xproj_p[None].astype(jnp.bfloat16), params["b"][None],
+            params["wh"][None].astype(jnp.bfloat16), start, end,
+            interpret)
+        return out[0]
     xproj = jnp.dot(x.astype(compute_dtype),
                     params["wx"].astype(compute_dtype),
                     preferred_element_type=jnp.float32) + params["b"]
@@ -157,34 +163,33 @@ def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
                      use_pallas=use_pallas)
 
 
-def _rnn_pallas_bi(stacked, both, lengths, T, B, compute_dtype,
+def _rnn_pallas_bi(stacked, x, x_rev, lengths, T, B, compute_dtype,
                    rnn_type, interpret=False):
     """Fused bidirectional RNN via the Pallas sequence kernels
     (ops/lstm_pallas.py — LSTM and GRU variants).
 
-    xproj (x@wx + b) stays in XLA so its gradients chain by autodiff;
-    the kernel owns only the recurrence (custom BPTT VJP)."""
+    xproj (x@wx) stays in XLA so its gradients chain by autodiff; the
+    bias rides into the kernel (db accumulates in-kernel). Everything
+    is direction-major [2, T, B, *] — exactly the batched dot_general's
+    output layout, so no transpose materializes."""
     from ..ops.lstm_pallas import gru_seq_pallas, lstm_seq_pallas
     seq_fn = lstm_seq_pallas if rnn_type == "lstm" else gru_seq_pallas
-    F = both.shape[-1]
-    xd = both.reshape(T, 2, B, F).astype(compute_dtype)
+    xd = jnp.stack([x, x_rev], axis=0).astype(compute_dtype)  # [2,T,B,F]
     xproj = jax.lax.dot_general(
         xd, stacked["wx"].astype(compute_dtype),
-        dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # [2, T, B, G]
-    xproj = jnp.moveaxis(xproj, 0, 1) + stacked["b"][None, :, None, :]
-    G = xproj.shape[-1]
-    xproj = xproj.reshape(T, 2 * B, G)
-    start = jnp.concatenate([jnp.zeros((B,), jnp.int32),
-                             (T - lengths).astype(jnp.int32)])
-    end = jnp.concatenate([lengths.astype(jnp.int32),
-                           jnp.full((B,), T, jnp.int32)])
+    start = jnp.stack([jnp.zeros((B,), jnp.int32),
+                       (T - lengths).astype(jnp.int32)])[..., None]
+    end = jnp.stack([lengths.astype(jnp.int32),
+                     jnp.full((B,), T, jnp.int32)])[..., None]
     # wh rides in bf16: it stays VMEM-resident in both kernels, and the
     # f32 version together with the f32 dwh scratch overflows the 16MB
     # VMEM budget (measured 17.1M). Grad precision for wh is bf16.
-    out = seq_fn(xproj, stacked["wh"].astype(jnp.bfloat16),
-                 start.reshape(-1, 1), end.reshape(-1, 1), interpret)
-    return out                                            # [T, 2B, H]
+    out = seq_fn(xproj.astype(jnp.bfloat16), stacked["b"],
+                 stacked["wh"].astype(jnp.bfloat16),
+                 start, end, interpret)
+    return out                                            # [2, T, B, H]
 
 
 def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -210,11 +215,6 @@ def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
        per-direction via a batched dot_general."""
     T, B, _ = x.shape
     x_rev = jnp.flip(x, axis=0)
-    both = jnp.concatenate([x, x_rev], axis=1)           # [T, 2B, F]
-    t_idx = jnp.arange(T)[:, None]
-    mask_fwd = (t_idx < lengths[None, :]).astype(jnp.float32)
-    mask_bwd = (t_idx >= (T - lengths)[None, :]).astype(jnp.float32)
-    mask = jnp.stack([mask_fwd, mask_bwd], axis=1)[..., None]  # [T,2,B,1]
     stacked = {
         "wx": jnp.concatenate([params["fwd"]["wx"][None],
                                params["bwd"]["wx"][None]], 0),
@@ -224,12 +224,18 @@ def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
                               params["bwd"]["b"][None]], 0),
     }
     if use_pallas and rnn_type in ("lstm", "gru"):
-        out = _rnn_pallas_bi(stacked, both, lengths, T, B,
-                             compute_dtype, rnn_type, interpret)
+        out4 = _rnn_pallas_bi(stacked, x, x_rev, lengths, T, B,
+                              compute_dtype, rnn_type, interpret)
+        fwd, bwd = out4[0], out4[1]                       # [T, B, H]
     else:
+        both = jnp.concatenate([x, x_rev], axis=1)       # [T, 2B, F]
+        t_idx = jnp.arange(T)[:, None]
+        mask_fwd = (t_idx < lengths[None, :]).astype(jnp.float32)
+        mask_bwd = (t_idx >= (T - lengths)[None, :]).astype(jnp.float32)
+        mask = jnp.stack([mask_fwd, mask_bwd], axis=1)[..., None]
         out = _stacked_rnn_apply(stacked, both, mask, rnn_type,
                                  compute_dtype, unroll)   # [T, 2B, H]
-    fwd, bwd = out[:, :B], out[:, B:]
+        fwd, bwd = out[:, :B], out[:, B:]
     bwd = jnp.flip(bwd, axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)
 

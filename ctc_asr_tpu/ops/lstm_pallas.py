@@ -6,24 +6,40 @@ The XLA ``lax.scan`` path (models/rnn.py) pays per-iteration while-loop
 overhead and materializes loop state through HBM every step; this kernel
 runs the WHOLE time loop on-core:
 
-- grid (T,): time is the pallas grid; the recurrent state (h, c) lives
-  in VMEM scratch across grid steps; ``xproj`` blocks stream HBM->VMEM
-  double-buffered by the pipeline; the gate weights ``wh`` stay
-  VMEM-resident (constant block index).
-- Both directions of a BiLSTM run fused: rows [0:B) are forward, rows
-  [B:2B) the (statically flipped) backward direction — one kernel, one
-  grid, MXU matmuls at 2B rows. Direction-specific weights apply via
-  static row slices (no batched-dot lowering surprises).
+- grid (T/TT,): TIME_BLOCK timesteps per grid step. A 1-step grid is
+  bound by per-grid-step pipeline overhead, not HBM or MXU (measured
+  ~1.0-1.6 us/step against a 0.7 us compute limb at B=16/H=512);
+  blocking TT steps amortizes it — the recurrence inside a block chains
+  in registers. The recurrent state (h, c) lives in VMEM scratch across
+  grid steps; ``xproj`` blocks stream HBM->VMEM double-buffered by the
+  pipeline; the gate weights ``wh`` stay VMEM-resident (constant block
+  index).
+- Direction-major [nd, T, B, *] blocks: a fused BiLSTM's two directions
+  arrive exactly as the batched input-projection dot_general emits them
+  — no [2,T,...]->[T,2,...] transpose materializes in XLA (that
+  moveaxis copy measured ~0.44 ms/step across 3 layers). Rows of
+  direction d use wh[d]; the backward direction is the statically
+  flipped input (masking handles the left-padding, models/rnn.py).
 - Masking uses per-row [start, end) windows computed in-kernel from
-  ``t = program_id`` (forward rows: [0, len); flipped backward rows:
-  [T-len, T)) — the same semantics as models/rnn.py.
+  the step index (forward rows: [0, len); flipped backward rows:
+  [T-len, T)) — the same semantics as models/rnn.py. Time padding to
+  the block size is inert: padded steps carry state through and emit
+  zeros.
+- **bf16 residuals.** xproj arrives bf16 and h_seq/c_seq/gates are
+  saved bf16 (the recurrent h/c state itself carries f32 in VMEM for
+  stability). The bias is added in-kernel (b rides in f32) and BPTT
+  emits dxproj in bf16 — the dwx / dx matmuls downstream consume bf16
+  anyway, so the f32 round-trip converts (~0.8 ms/step across 3
+  layers) disappear.
 - **Custom VJP**: the forward saves (h_seq, c_seq, activated gates);
   the backward kernel runs the standard BPTT recurrence in reverse grid
-  order, carrying (dh, dc) in scratch, streaming two shifted views of
-  h_seq/c_seq (same array, two BlockSpecs), emitting dxproj per step
-  and accumulating dwh in VMEM scratch written out at the last step.
-  d(bias)/d(wx)/d(input) chain through dxproj in XLA (xproj = x@wx + b
-  stays outside the kernel).
+  order, carrying (dh, dc) in scratch, streaming a block-shifted view
+  of c_seq (same array, second BlockSpec) for the cross-block c[t-1],
+  emitting dxproj per step and accumulating d(bias) in a constant-index
+  output block. d(wx)/d(input) chain through dxproj in XLA
+  (xproj = x@wx stays outside); dwh is ONE large [H, T*B] x [T*B, G]
+  matmul per direction on the host side — an in-kernel [nd*H, G] f32
+  accumulator overflows VMEM at H=800 (measured 20.25M > 16M).
 
 Parity-tested against the scan implementation (values AND gradients) in
 tests/test_lstm_pallas.py via interpret mode.
@@ -38,245 +54,272 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+TIME_BLOCK = 8
+
+
+def _pad_time(x, Tp):
+    """Zero-pad [nd, T, ...] along axis 1 to Tp rows."""
+    T = x.shape[1]
+    if Tp == T:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, Tp - T)
+    return jnp.pad(x, pad)
+
 
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xproj_ref, wh_ref, start_ref, end_ref,
+def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
                 h_out_ref, c_out_ref, gates_out_ref,
-                h_c, c_c, *, R: int, B: int, H: int, nd: int):
-    """Grid (T,). Blocks: xproj [1, R, 4H]; wh [nd, H, 4H] resident;
-    start/end [R, 1] resident; outs per-step [1, R, *]; scratch h/c
-    [R, H] carried."""
-    t = pl.program_id(0)
+                h_c, c_c, *, B: int, H: int, nd: int, TT: int):
+    """Grid (T/TT,). Blocks: xproj [nd, TT, B, 4H] bf16; b [nd, 4H] f32
+    and wh [nd, H, 4H] resident; start/end [nd, B, 1] resident; outs
+    per-block [nd, TT, B, *] bf16; scratch h/c [nd, B, H] f32 carried."""
+    tb = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(tb == 0)
     def _init():
-        h_c[...] = jnp.zeros((R, H), jnp.float32)
-        c_c[...] = jnp.zeros((R, H), jnp.float32)
+        h_c[...] = jnp.zeros((nd, B, H), jnp.float32)
+        c_c[...] = jnp.zeros((nd, B, H), jnp.float32)
 
-    h = h_c[...]
-    c = c_c[...]
-    xp = xproj_ref[0]                                    # [R, 4H]
-    # direction-specific recurrent matmul via static row slices
-    parts = []
     for d in range(nd):
-        parts.append(jnp.dot(h[d * B:(d + 1) * B].astype(jnp.bfloat16),
-                             wh_ref[d].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32))
-    hproj = jnp.concatenate(parts, axis=0) if nd > 1 else parts[0]
-    gates = xp + hproj                                   # [R, 4H]
-    gi = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-    gf = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-    gg = jnp.tanh(gates[:, 2 * H:3 * H])
-    go = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-    c_new = gf * c + gi * gg
-    h_new = go * jnp.tanh(c_new)
+        h = h_c[d]
+        c = c_c[d]
+        for j in range(TT):
+            t = tb * TT + j
+            xp = xproj_ref[d, j].astype(jnp.float32) + b_ref[d][None, :]
+            hproj = jnp.dot(h.astype(jnp.bfloat16), wh_ref[d],
+                            preferred_element_type=jnp.float32)
+            gates = xp + hproj                           # [B, 4H] f32
+            gi = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+            gf = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+            gg = jnp.tanh(gates[:, 2 * H:3 * H])
+            go = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+            c_new = gf * c + gi * gg
+            h_new = go * jnp.tanh(c_new)
 
-    m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
-    mf = m.astype(jnp.float32)
-    c2 = mf * c_new + (1.0 - mf) * c
-    h2 = mf * h_new + (1.0 - mf) * h
-    h_c[...] = h2
-    c_c[...] = c2
-    h_out_ref[0] = h2 * mf
-    c_out_ref[0] = c2
-    gates_out_ref[0] = jnp.concatenate([gi, gf, gg, go], axis=1)
+            m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
+            mf = m.astype(jnp.float32)
+            c = mf * c_new + (1.0 - mf) * c
+            h = mf * h_new + (1.0 - mf) * h
+            h_out_ref[d, j] = (h * mf).astype(jnp.bfloat16)
+            c_out_ref[d, j] = c.astype(jnp.bfloat16)
+            gates_out_ref[d, j] = jnp.concatenate(
+                [gi, gf, gg, go], axis=1).astype(jnp.bfloat16)
+        h_c[d] = h
+        c_c[d] = c
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel (reverse grid order)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref, hprev_ref,
+def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
                 wh_ref, start_ref, end_ref,
-                dxproj_ref,
-                dh_c, dc_c, *, R: int, B: int, H: int, nd: int):
-    """Grid (T,) with index maps reversed (t = T-1-it). cprev/hprev are
-    the same arrays as c_seq/h_seq with a t-1 index map (clamped at 0;
-    the t==0 contribution is zeroed explicitly)."""
+                dxproj_ref, db_ref,
+                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int):
+    """Grid (T/TT,) with index maps reversed. Within a block the BPTT
+    chain runs j = TT-1 .. 0; c[t-1] comes from the same block (j-1) or
+    from cprev (the block-(-1) view, clamped at 0 — the t==0
+    contribution is zeroed explicitly). db accumulates in the
+    constant-index output block."""
     it = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - it
+    nblk = pl.num_programs(0)
+    tb = nblk - 1 - it
 
     @pl.when(it == 0)
     def _init():
-        dh_c[...] = jnp.zeros((R, H), jnp.float32)
-        dc_c[...] = jnp.zeros((R, H), jnp.float32)
+        dh_c[...] = jnp.zeros((nd, B, H), jnp.float32)
+        dc_c[...] = jnp.zeros((nd, B, H), jnp.float32)
+        db_ref[...] = jnp.zeros_like(db_ref)
 
-    m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
-    mf = m.astype(jnp.float32)
-    not_first = (t > 0)
-
-    gts = gates_ref[0]                                   # [R, 4H]
-    gi, gf = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
-    gg, go = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
-    c_t = c_ref[0]
-    c_prev = jnp.where(not_first, cprev_ref[0], 0.0)
-    h_prev = jnp.where(not_first, hprev_ref[0], 0.0)
-    tanh_c = jnp.tanh(c_t)
-
-    dh_total = dh_c[...] + mf * gout_ref[0]
-    dh_new = mf * dh_total
-    dh_prev_direct = (1.0 - mf) * dh_total
-    do = dh_new * tanh_c
-    dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
-    dc_total = mf * dc_c[...] + dc_from_h
-    dc_prev_direct = (1.0 - mf) * dc_c[...]
-    df = dc_total * c_prev
-    di = dc_total * gg
-    dg = dc_total * gi
-    dc_prev_from_new = dc_total * gf
-
-    dpre_i = di * gi * (1.0 - gi)
-    dpre_f = df * gf * (1.0 - gf)
-    dpre_g = dg * (1.0 - gg * gg)
-    dpre_o = do * go * (1.0 - go)
-    dgates = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=1)
-
-    dxproj_ref[0] = dgates
-
-    # dh_prev += dgates @ wh^T per direction. dwh is NOT accumulated in
-    # the kernel: an [nd*H, 4H] f32 accumulator overflows VMEM at H=800
-    # (measured 20.25M > 16M); instead the host computes it as ONE large
-    # matmul over the whole sequence (h_prev_seq^T @ dxproj_seq) where
-    # the MXU is far more efficient anyway.
-    dh_parts = []
     for d in range(nd):
-        rows = slice(d * B, (d + 1) * B)
-        dh_parts.append(jax.lax.dot_general(
-            dgates[rows].astype(jnp.bfloat16),
-            wh_ref[d].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))         # [B, H]
-    dh_prev = (jnp.concatenate(dh_parts, axis=0) if nd > 1
-               else dh_parts[0])
+        dh = dh_c[d]
+        dc = dc_c[d]
+        db = db_ref[d]
+        for j in reversed(range(TT)):
+            t = tb * TT + j
+            not_first = (t > 0)
+            m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
+            mf = m.astype(jnp.float32)
 
-    dh_c[...] = dh_prev_direct + dh_prev
-    dc_c[...] = dc_prev_direct + dc_prev_from_new
+            gts = gates_ref[d, j].astype(jnp.float32)    # [B, 4H]
+            gi, gf = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
+            gg, go = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
+            c_t = c_ref[d, j].astype(jnp.float32)
+            cp = c_ref[d, j - 1] if j > 0 else cprev_ref[d, TT - 1]
+            c_prev = jnp.where(not_first, cp.astype(jnp.float32), 0.0)
+            tanh_c = jnp.tanh(c_t)
+
+            dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
+            dh_new = mf * dh_total
+            dh_prev_direct = (1.0 - mf) * dh_total
+            do = dh_new * tanh_c
+            dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
+            dc_total = mf * dc + dc_from_h
+            dc_prev_direct = (1.0 - mf) * dc
+            df = dc_total * c_prev
+            di = dc_total * gg
+            dg = dc_total * gi
+            dc_prev_from_new = dc_total * gf
+
+            dpre_i = di * gi * (1.0 - gi)
+            dpre_f = df * gf * (1.0 - gf)
+            dpre_g = dg * (1.0 - gg * gg)
+            dpre_o = do * go * (1.0 - go)
+            dgates = jnp.concatenate(
+                [dpre_i, dpre_f, dpre_g, dpre_o], axis=1)
+
+            dxproj_ref[d, j] = dgates.astype(jnp.bfloat16)
+            db = db + jnp.sum(dgates, axis=0)
+
+            dh_prev = jax.lax.dot_general(
+                dgates.astype(jnp.bfloat16), wh_ref[d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [B, H]
+            dh = dh_prev_direct + dh_prev
+            dc = dc_prev_direct + dc_prev_from_new
+        dh_c[d] = dh
+        dc_c[d] = dc
+        db_ref[d] = db
 
 
 # ---------------------------------------------------------------------------
 # Host wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwd(xproj, wh, start, end, interpret):
-    T, R, G = xproj.shape
-    nd, H, _ = wh.shape
-    B = R // nd
-    kernel = functools.partial(_fwd_kernel, R=R, B=B, H=H, nd=nd)
-    const = lambda t: (0, 0, 0)  # noqa: E731
-    const2 = lambda t: (0, 0)    # noqa: E731
+def _run_fwd(xproj, b, wh, start, end, interpret):
+    nd, T, B, G = xproj.shape
+    H = wh.shape[1]
+    TT = min(TIME_BLOCK, T)
+    nblk = -(-T // TT)
+    xproj = _pad_time(xproj, nblk * TT)
+    kernel = functools.partial(_fwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    const3 = lambda t: (0, 0, 0)  # noqa: E731
+    const2 = lambda t: (0, 0)     # noqa: E731
+    blk = lambda t: (0, t, 0, 0)  # noqa: E731
     h_seq, c_seq, gates = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, R, G), lambda t: (t, 0, 0)),
-            pl.BlockSpec((nd, H, G), const),
-            pl.BlockSpec((R, 1), const2),
-            pl.BlockSpec((R, 1), const2),
+            pl.BlockSpec((nd, TT, B, G), blk),
+            pl.BlockSpec((nd, G), const2),
+            pl.BlockSpec((nd, H, G), const3),
+            pl.BlockSpec((nd, B, 1), const3),
+            pl.BlockSpec((nd, B, 1), const3),
         ],
         out_specs=[
-            pl.BlockSpec((1, R, H), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, R, H), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, R, G), lambda t: (t, 0, 0)),
+            pl.BlockSpec((nd, TT, B, H), blk),
+            pl.BlockSpec((nd, TT, B, H), blk),
+            pl.BlockSpec((nd, TT, B, G), blk),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, R, G), jnp.float32),
+            jax.ShapeDtypeStruct((nd, nblk * TT, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nd, nblk * TT, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nd, nblk * TT, B, G), jnp.bfloat16),
         ],
-        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32),
-                        pltpu.VMEM((R, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32),
+                        pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-    )(xproj, wh, start, end)
+    )(xproj, b, wh, start, end)
+    # residuals stay padded; the public output is sliced by the caller
     return h_seq, c_seq, gates
 
 
-def _run_bwd(g_out, gates, c_seq, h_seq, wh, start, end, interpret):
-    T, R, G = gates.shape
-    nd, H, _ = wh.shape
-    B = R // nd
-    kernel = functools.partial(_bwd_kernel, R=R, B=B, H=H, nd=nd)
-    rev = lambda it: (T - 1 - it, 0, 0)                   # noqa: E731
-    # t-1 view, clamped at 0 (kernel zeroes the t==0 contribution)
-    revm1 = lambda it: (jnp.maximum(T - 2 - it, 0), 0, 0)  # noqa: E731
-    const = lambda it: (0, 0, 0)  # noqa: E731
-    const2 = lambda it: (0, 0)    # noqa: E731
-    dxproj = pl.pallas_call(
+def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
+    """g_out/gates/c_seq are block-padded [nd, Tp, B, *]."""
+    nd, Tp, B, G = gates.shape
+    H = wh.shape[1]
+    TT = min(TIME_BLOCK, Tp)
+    nblk = Tp // TT
+    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
+    # block-(-1) view, clamped (kernel zeroes the t==0 contribution)
+    revm1 = lambda it: (0, jnp.maximum(nblk - 2 - it, 0), 0, 0)  # noqa: E731
+    const3 = lambda it: (0, 0, 0)  # noqa: E731
+    const2 = lambda it: (0, 0)     # noqa: E731
+    dxproj, db = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, R, H), rev),        # g_out
-            pl.BlockSpec((1, R, G), rev),        # gates
-            pl.BlockSpec((1, R, H), rev),        # c_seq  (t)
-            pl.BlockSpec((1, R, H), revm1),      # c_seq  (t-1)
-            pl.BlockSpec((1, R, H), revm1),      # h_seq  (t-1)
-            pl.BlockSpec((nd, H, G), const),
-            pl.BlockSpec((R, 1), const2),
-            pl.BlockSpec((R, 1), const2),
+            pl.BlockSpec((nd, TT, B, H), rev),        # g_out
+            pl.BlockSpec((nd, TT, B, G), rev),        # gates
+            pl.BlockSpec((nd, TT, B, H), rev),        # c_seq  (block)
+            pl.BlockSpec((nd, TT, B, H), revm1),      # c_seq  (block-1)
+            pl.BlockSpec((nd, H, G), const3),
+            pl.BlockSpec((nd, B, 1), const3),
+            pl.BlockSpec((nd, B, 1), const3),
         ],
-        out_specs=pl.BlockSpec((1, R, G), rev),
-        out_shape=jax.ShapeDtypeStruct((T, R, G), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32),
-                        pltpu.VMEM((R, H), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((nd, TT, B, G), rev),
+            pl.BlockSpec((nd, G), const2),            # db accumulator
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nd, Tp, B, G), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nd, G), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32),
+                        pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-    )(g_out, gates, c_seq, c_seq, h_seq, wh, start, end)
-    return dxproj
+    )(g_out, gates, c_seq, c_seq, wh, start, end)
+    return dxproj, db
 
 
-def _dwh_from_seq(h_seq, dhproj, B, nd):
-    """dwh[d] = sum_t h_prev[t]^T @ dhproj[t] as one large matmul
-    (h_prev = h_seq shifted by one step, zeros at t=0)."""
-    T, R, H = h_seq.shape
+def _dwh_from_seq(h_seq, dhproj):
+    """dwh[d] = sum_t h_prev[t]^T @ dhproj[t] as one large matmul per
+    direction (h_prev = h_seq shifted by one step, zeros at t=0).
+    h_seq/dhproj: [nd, T, B, *] bf16 (equal, possibly padded, T)."""
+    nd, T, B, H = h_seq.shape
     G = dhproj.shape[-1]
     hp = jnp.concatenate(
-        [jnp.zeros((1, R, H), h_seq.dtype), h_seq[:-1]], axis=0)
+        [jnp.zeros((nd, 1, B, H), h_seq.dtype), h_seq[:, :-1]], axis=1)
     parts = []
     for d in range(nd):
-        rows = slice(d * B, (d + 1) * B)
-        lhs = hp[:, rows].reshape(-1, H).astype(jnp.bfloat16)
-        rhs = dhproj[:, rows].reshape(-1, G).astype(jnp.bfloat16)
         parts.append(jax.lax.dot_general(
-            lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            hp[d].reshape(-1, H), dhproj[d].reshape(-1, G),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     return jnp.stack(parts, axis=0)                      # [nd, H, G]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def lstm_seq_pallas(xproj, wh, start, end, interpret=False):
-    """Fused LSTM over a whole sequence.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def lstm_seq_pallas(xproj, b, wh, start, end, interpret=False):
+    """Fused (bi)LSTM over a whole sequence.
 
-    xproj: [T, R, 4H] f32 input projections (x@wx + b, precomputed);
+    xproj: [nd, T, B, 4H] bf16 input projections (x@wx, direction-major
+    as the batched dot_general emits them; bias NOT added);
+    b: [nd, 4H] f32 gate bias (added in-kernel);
     wh: [nd, H, 4H] recurrent weights, bf16 recommended — it stays
-    VMEM-resident in both kernels and f32 + the f32 dwh scratch
-    overflows VMEM (nd=1 uni, nd=2 fused bi; rows
-    [d*B:(d+1)*B) of the R=nd*B row axis use wh[d]);
-    start/end: [R, 1] int32 valid windows per row.
-    Returns masked hidden outputs [T, R, H] f32.
+    VMEM-resident in both kernels and f32 together with the f32
+    scratch overflows VMEM (nd=1 uni, nd=2 fused bi);
+    start/end: [nd, B, 1] int32 valid windows per row.
+    Returns masked hidden outputs [nd, T, B, H] bf16.
     """
-    h_seq, _, _ = _run_fwd(xproj, wh, start, end, interpret)
-    return h_seq
+    T = xproj.shape[1]
+    h_seq, _, _ = _run_fwd(xproj, b, wh, start, end, interpret)
+    return h_seq[:, :T]
 
 
-def _fwd_rule(xproj, wh, start, end, interpret=False):
-    h_seq, c_seq, gates = _run_fwd(xproj, wh, start, end, interpret)
-    return h_seq, (gates, c_seq, h_seq, wh, start, end)
+def _fwd_rule(xproj, b, wh, start, end, interpret=False):
+    T = xproj.shape[1]
+    h_seq, c_seq, gates = _run_fwd(xproj, b, wh, start, end, interpret)
+    return h_seq[:, :T], (gates, c_seq, h_seq, wh, start, end)
 
 
 def _bwd_rule(interpret, res, g_out):
     gates, c_seq, h_seq, wh, start, end = res
-    nd, H, _ = wh.shape
-    B = h_seq.shape[1] // nd
-    dxproj = _run_bwd(g_out, gates, c_seq, h_seq, wh, start, end,
-                      interpret)
+    T = g_out.shape[1]
+    g_out = _pad_time(g_out.astype(jnp.bfloat16), gates.shape[1])
+    dxproj, db = _run_bwd(g_out, gates, c_seq, wh, start, end, interpret)
     # For the LSTM, d(hproj) == dxproj (same pre-activation gates).
-    dwh = _dwh_from_seq(h_seq, dxproj, B, nd)
+    dwh = _dwh_from_seq(h_seq, dxproj)
     import numpy as np
     zero_int = np.zeros(start.shape, jax.dtypes.float0)
-    # cotangent dtype must match the (possibly bf16) wh input
-    return dxproj, dwh.astype(wh.dtype), zero_int, zero_int
+    # cotangent dtypes must match the inputs (bf16 xproj / bf16 wh)
+    return (dxproj[:, :T].astype(jnp.bfloat16), db.astype(jnp.float32),
+            dwh.astype(wh.dtype), zero_int, zero_int)
 
 
 lstm_seq_pallas.defvjp(_fwd_rule, _bwd_rule)
@@ -290,178 +333,202 @@ lstm_seq_pallas.defvjp(_fwd_rule, _bwd_rule)
 # n gate is d(hproj_n) = dn_pre*r).
 # ---------------------------------------------------------------------------
 
-def _gru_fwd_kernel(xproj_ref, wh_ref, start_ref, end_ref,
+def _gru_fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
                     h_out_ref, gates_out_ref,
-                    h_c, *, R: int, B: int, H: int, nd: int):
-    """Blocks: xproj [1, R, 3H]; wh [nd, H, 3H]; outs h [1, R, H],
-    gates [1, R, 4H] = (r, z, n, hn); scratch h [R, H]."""
-    t = pl.program_id(0)
+                    h_c, *, B: int, H: int, nd: int, TT: int):
+    """Blocks: xproj [nd, TT, B, 3H] bf16; b [nd, 3H] f32, wh
+    [nd, H, 3H] resident; outs h [nd, TT, B, H], gates [nd, TT, B, 4H]
+    = (r, z, n, hn) bf16; scratch h [nd, B, H] f32."""
+    tb = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(tb == 0)
     def _init():
-        h_c[...] = jnp.zeros((R, H), jnp.float32)
+        h_c[...] = jnp.zeros((nd, B, H), jnp.float32)
 
-    h = h_c[...]
-    xp = xproj_ref[0]                                    # [R, 3H]
-    parts = []
     for d in range(nd):
-        parts.append(jnp.dot(h[d * B:(d + 1) * B].astype(jnp.bfloat16),
-                             wh_ref[d].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32))
-    hproj = jnp.concatenate(parts, axis=0) if nd > 1 else parts[0]
-    hr, hz, hn = (hproj[:, 0 * H:1 * H], hproj[:, 1 * H:2 * H],
-                  hproj[:, 2 * H:3 * H])
-    xr, xz, xn = (xp[:, 0 * H:1 * H], xp[:, 1 * H:2 * H],
-                  xp[:, 2 * H:3 * H])
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    h_new = (1.0 - z) * n + z * h
+        h = h_c[d]
+        for j in range(TT):
+            t = tb * TT + j
+            xp = xproj_ref[d, j].astype(jnp.float32) + b_ref[d][None, :]
+            hproj = jnp.dot(h.astype(jnp.bfloat16), wh_ref[d],
+                            preferred_element_type=jnp.float32)
+            hr, hz, hn = (hproj[:, 0 * H:1 * H], hproj[:, 1 * H:2 * H],
+                          hproj[:, 2 * H:3 * H])
+            xr, xz, xn = (xp[:, 0 * H:1 * H], xp[:, 1 * H:2 * H],
+                          xp[:, 2 * H:3 * H])
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h
 
-    m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
-    mf = m.astype(jnp.float32)
-    h2 = mf * h_new + (1.0 - mf) * h
-    h_c[...] = h2
-    h_out_ref[0] = h2 * mf
-    gates_out_ref[0] = jnp.concatenate([r, z, n, hn], axis=1)
+            m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
+            mf = m.astype(jnp.float32)
+            h = mf * h_new + (1.0 - mf) * h
+            h_out_ref[d, j] = (h * mf).astype(jnp.bfloat16)
+            gates_out_ref[d, j] = jnp.concatenate(
+                [r, z, n, hn], axis=1).astype(jnp.bfloat16)
+        h_c[d] = h
 
 
-def _gru_bwd_kernel(gout_ref, gates_ref, hprev_ref, wh_ref,
+def _gru_bwd_kernel(gout_ref, gates_ref, h_ref, hprev_ref, wh_ref,
                     start_ref, end_ref,
-                    dxproj_ref, dh_c,
-                    *, R: int, B: int, H: int, nd: int):
+                    dxproj_ref, db_ref, dh_c,
+                    *, B: int, H: int, nd: int, TT: int):
+    """h[t-1] comes from the same block (j-1) or the block-(-1) view."""
     it = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - it
+    nblk = pl.num_programs(0)
+    tb = nblk - 1 - it
 
     @pl.when(it == 0)
     def _init():
-        dh_c[...] = jnp.zeros((R, H), jnp.float32)
+        dh_c[...] = jnp.zeros((nd, B, H), jnp.float32)
+        db_ref[...] = jnp.zeros_like(db_ref)
 
-    m = ((t >= start_ref[:, 0]) & (t < end_ref[:, 0]))[:, None]
-    mf = m.astype(jnp.float32)
-    not_first = (t > 0)
-
-    gts = gates_ref[0]
-    r, z = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
-    n, hn = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
-    h_prev = jnp.where(not_first, hprev_ref[0], 0.0)
-
-    dh_total = dh_c[...] + mf * gout_ref[0]
-    dh_new = mf * dh_total
-    dh_prev_direct = (1.0 - mf) * dh_total
-    dz = dh_new * (h_prev - n)
-    dn = dh_new * (1.0 - z)
-    dh_prev_from_new = dh_new * z
-    dn_pre = dn * (1.0 - n * n)
-    dr = dn_pre * hn
-    dhn = dn_pre * r
-    dr_pre = dr * r * (1.0 - r)
-    dz_pre = dz * z * (1.0 - z)
-
-    dxproj_ref[0] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-    dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1)  # [R, 3H]
-
-    # dwh accumulates OUTSIDE the kernel (see _dwh_from_seq).
-    dh_parts = []
     for d in range(nd):
-        rows = slice(d * B, (d + 1) * B)
-        dh_parts.append(jax.lax.dot_general(
-            dhproj[rows].astype(jnp.bfloat16),
-            wh_ref[d].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    dh_prev = (jnp.concatenate(dh_parts, axis=0) if nd > 1
-               else dh_parts[0])
-    dh_c[...] = dh_prev_direct + dh_prev_from_new + dh_prev
+        dh = dh_c[d]
+        db = db_ref[d]
+        for j in reversed(range(TT)):
+            t = tb * TT + j
+            not_first = (t > 0)
+            m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
+            mf = m.astype(jnp.float32)
+
+            gts = gates_ref[d, j].astype(jnp.float32)
+            r, z = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
+            n, hn = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
+            hp = h_ref[d, j - 1] if j > 0 else hprev_ref[d, TT - 1]
+            h_prev = jnp.where(not_first, hp.astype(jnp.float32), 0.0)
+
+            dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
+            dh_new = mf * dh_total
+            dh_prev_direct = (1.0 - mf) * dh_total
+            dz = dh_new * (h_prev - n)
+            dn = dh_new * (1.0 - z)
+            dh_prev_from_new = dh_new * z
+            dn_pre = dn * (1.0 - n * n)
+            dr = dn_pre * hn
+            dhn = dn_pre * r
+            dr_pre = dr * r * (1.0 - r)
+            dz_pre = dz * z * (1.0 - z)
+
+            dgates = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+            dxproj_ref[d, j] = dgates.astype(jnp.bfloat16)
+            db = db + jnp.sum(dgates, axis=0)
+
+            dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1)
+            dh_prev = jax.lax.dot_general(
+                dhproj.astype(jnp.bfloat16), wh_ref[d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh = dh_prev_direct + dh_prev_from_new + dh_prev
+        dh_c[d] = dh
+        db_ref[d] = db
 
 
-def _gru_run_fwd(xproj, wh, start, end, interpret):
-    T, R, G = xproj.shape          # G = 3H
-    nd, H, _ = wh.shape
-    B = R // nd
-    kernel = functools.partial(_gru_fwd_kernel, R=R, B=B, H=H, nd=nd)
-    const = lambda t: (0, 0, 0)  # noqa: E731
-    const2 = lambda t: (0, 0)    # noqa: E731
+def _gru_run_fwd(xproj, b, wh, start, end, interpret):
+    nd, T, B, G = xproj.shape      # G = 3H
+    H = wh.shape[1]
+    TT = min(TIME_BLOCK, T)
+    nblk = -(-T // TT)
+    xproj = _pad_time(xproj, nblk * TT)
+    kernel = functools.partial(_gru_fwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    const3 = lambda t: (0, 0, 0)  # noqa: E731
+    const2 = lambda t: (0, 0)     # noqa: E731
+    blk = lambda t: (0, t, 0, 0)  # noqa: E731
     h_seq, gates = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, R, G), lambda t: (t, 0, 0)),
-            pl.BlockSpec((nd, H, G), const),
-            pl.BlockSpec((R, 1), const2),
-            pl.BlockSpec((R, 1), const2),
+            pl.BlockSpec((nd, TT, B, G), blk),
+            pl.BlockSpec((nd, G), const2),
+            pl.BlockSpec((nd, H, G), const3),
+            pl.BlockSpec((nd, B, 1), const3),
+            pl.BlockSpec((nd, B, 1), const3),
         ],
         out_specs=[
-            pl.BlockSpec((1, R, H), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, R, 4 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((nd, TT, B, H), blk),
+            pl.BlockSpec((nd, TT, B, 4 * H), blk),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((nd, nblk * TT, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nd, nblk * TT, B, 4 * H), jnp.bfloat16),
         ],
-        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-    )(xproj, wh, start, end)
+    )(xproj, b, wh, start, end)
     return h_seq, gates
 
 
 def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
-    T, R, G4 = gates.shape
-    nd, H, G = wh.shape
-    B = R // nd
-    kernel = functools.partial(_gru_bwd_kernel, R=R, B=B, H=H, nd=nd)
-    rev = lambda it: (T - 1 - it, 0, 0)                   # noqa: E731
-    revm1 = lambda it: (jnp.maximum(T - 2 - it, 0), 0, 0)  # noqa: E731
-    const = lambda it: (0, 0, 0)  # noqa: E731
-    const2 = lambda it: (0, 0)    # noqa: E731
-    dxproj = pl.pallas_call(
+    """g_out/gates/h_seq are block-padded [nd, Tp, B, *]."""
+    nd, Tp, B, G4 = gates.shape
+    H = wh.shape[1]
+    G = wh.shape[2]
+    TT = min(TIME_BLOCK, Tp)
+    nblk = Tp // TT
+    kernel = functools.partial(_gru_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
+    revm1 = lambda it: (0, jnp.maximum(nblk - 2 - it, 0), 0, 0)  # noqa: E731
+    const3 = lambda it: (0, 0, 0)  # noqa: E731
+    const2 = lambda it: (0, 0)     # noqa: E731
+    dxproj, db = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, R, H), rev),        # g_out
-            pl.BlockSpec((1, R, G4), rev),       # gates (r,z,n,hn)
-            pl.BlockSpec((1, R, H), revm1),      # h_seq (t-1)
-            pl.BlockSpec((nd, H, G), const),
-            pl.BlockSpec((R, 1), const2),
-            pl.BlockSpec((R, 1), const2),
+            pl.BlockSpec((nd, TT, B, H), rev),        # g_out
+            pl.BlockSpec((nd, TT, B, G4), rev),       # gates (r,z,n,hn)
+            pl.BlockSpec((nd, TT, B, H), rev),        # h_seq (block)
+            pl.BlockSpec((nd, TT, B, H), revm1),      # h_seq (block-1)
+            pl.BlockSpec((nd, H, G), const3),
+            pl.BlockSpec((nd, B, 1), const3),
+            pl.BlockSpec((nd, B, 1), const3),
         ],
-        out_specs=pl.BlockSpec((1, R, G), rev),
-        out_shape=jax.ShapeDtypeStruct((T, R, G), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((nd, TT, B, G), rev),
+            pl.BlockSpec((nd, G), const2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nd, Tp, B, G), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nd, G), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-    )(g_out, gates, h_seq, wh, start, end)
-    return dxproj
+    )(g_out, gates, h_seq, h_seq, wh, start, end)
+    return dxproj, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def gru_seq_pallas(xproj, wh, start, end, interpret=False):
-    """Fused GRU over a whole sequence (see lstm_seq_pallas; xproj is
-    [T, R, 3H], wh [nd, H, 3H] bf16 recommended)."""
-    h_seq, _ = _gru_run_fwd(xproj, wh, start, end, interpret)
-    return h_seq
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_seq_pallas(xproj, b, wh, start, end, interpret=False):
+    """Fused (bi)GRU over a whole sequence (see lstm_seq_pallas; xproj
+    is [nd, T, B, 3H] bf16, b [nd, 3H] f32, wh [nd, H, 3H] bf16)."""
+    T = xproj.shape[1]
+    h_seq, _ = _gru_run_fwd(xproj, b, wh, start, end, interpret)
+    return h_seq[:, :T]
 
 
-def _gru_fwd_rule(xproj, wh, start, end, interpret=False):
-    h_seq, gates = _gru_run_fwd(xproj, wh, start, end, interpret)
-    return h_seq, (gates, h_seq, wh, start, end)
+def _gru_fwd_rule(xproj, b, wh, start, end, interpret=False):
+    T = xproj.shape[1]
+    h_seq, gates = _gru_run_fwd(xproj, b, wh, start, end, interpret)
+    return h_seq[:, :T], (gates, h_seq, wh, start, end)
 
 
 def _gru_bwd_rule(interpret, res, g_out):
     gates, h_seq, wh, start, end = res
-    nd, H, _ = wh.shape
-    B = h_seq.shape[1] // nd
-    dxproj = _gru_run_bwd(g_out, gates, h_seq, wh, start, end,
-                          interpret)
+    H = wh.shape[1]
+    T = g_out.shape[1]
+    g_out = _pad_time(g_out.astype(jnp.bfloat16), gates.shape[1])
+    dxproj, db = _gru_run_bwd(g_out, gates, h_seq, wh, start, end,
+                              interpret)
     # The wh-cotangent n-column uses d(hproj_n) = dn_pre * r, not
     # dn_pre (n = tanh(xn + r*hn)); reconstruct from saved r.
-    r = gates[:, :, 0 * H:1 * H]
+    r = gates[..., 0 * H:1 * H].astype(dxproj.dtype)
     dhproj = jnp.concatenate(
-        [dxproj[:, :, 0:2 * H], dxproj[:, :, 2 * H:3 * H] * r], axis=-1)
-    dwh = _dwh_from_seq(h_seq, dhproj, B, nd)
+        [dxproj[..., 0:2 * H], dxproj[..., 2 * H:3 * H] * r], axis=-1)
+    dwh = _dwh_from_seq(h_seq, dhproj)
     import numpy as np
     zero_int = np.zeros(start.shape, jax.dtypes.float0)
-    return dxproj, dwh.astype(wh.dtype), zero_int, zero_int
+    return (dxproj[:, :T].astype(jnp.bfloat16), db.astype(jnp.float32),
+            dwh.astype(wh.dtype), zero_int, zero_int)
 
 
 gru_seq_pallas.defvjp(_gru_fwd_rule, _gru_bwd_rule)

@@ -118,3 +118,31 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def blocked_main():
+    """RTT-corrected fullband vs freq-blocked (diag_conv3 impl)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from diag_conv3 import conv1d_blocked_apply
+    from ctc_asr_tpu.models.layers import conv2d_init, conv2d_matmul_apply
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x_raw = jax.device_put(jax.random.normal(k1, (B, 800, 80, 1)))
+    params = {"c1": conv2d_init(k2, 11, 41, 1, 32),
+              "c2": conv2d_init(k3, 11, 21, 32, 32)}
+    for name, fn in (("fullband", conv2d_matmul_apply),
+                     ("blocked", conv1d_blocked_apply)):
+        def fwd(p, fn=fn):
+            y1 = jnp.clip(fn(p["c1"], x_raw, (2, 2)), 0, 20)
+            return jnp.sum(fn(p["c2"], y1, (1, 2)))
+        timed_chain(f"{name} fwd", params, fwd)
+
+        def fwdbwd(p, fn=fn):
+            def loss(pp):
+                y1 = jnp.clip(fn(pp["c1"], x_raw, (2, 2)), 0, 20)
+                y2 = fn(pp["c2"], y1, (1, 2))
+                return jnp.sum(y2 * y2) * 1e-6
+            l, g = jax.value_and_grad(loss)(p)
+            return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+        timed_chain(f"{name} fwd+bwd", params, fwdbwd)

@@ -59,8 +59,10 @@ def test_uni_gradient_parity():
                      argnums=(0, 1))(params, x)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_pal)):
+        # bf16 residuals + bf16 dxproj: ~0.4% per-element rounding
+        # compounds through the BPTT chain (kernel numerics by design)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-3, atol=5e-3)
+                                   rtol=4e-2, atol=1e-2)
 
 
 def test_bi_gradient_parity():
@@ -82,8 +84,9 @@ def test_bi_gradient_parity():
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_flatten_with_path(g_ref)[0],
             jax.tree_util.tree_flatten_with_path(g_pal)[0]):
+        # bf16 residuals + bf16 dxproj (see test_uni_gradient_parity)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-3, atol=5e-3,
+                                   rtol=4e-2, atol=1e-2,
                                    err_msg=str(pa))
 
 
@@ -125,8 +128,10 @@ def test_gru_forward_and_grad_parity():
                      argnums=(0, 1))(params, x)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_pal)):
+        # bf16 residuals + bf16 dxproj: ~0.4% per-element rounding
+        # compounds through the BPTT chain (kernel numerics by design)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-3, atol=5e-3)
+                                   rtol=4e-2, atol=1e-2)
 
 
 def test_bigru_pallas_parity():
