@@ -79,9 +79,16 @@ def bench_train(cfg, batch, seconds, steps, warmup):
     NB: block_until_ready through the axon tunnel returns at enqueue,
     not completion — only a host value fetch is a real barrier, so we
     chain steps (each consumes the previous state) and fetch once.
+
+    Returns (audio_s_per_s, step_time, device_step_time): the first two
+    include per-step dispatch through the tunnel (what a Python train
+    loop pays here); device_step_time chains the same steps inside one
+    jitted lax.scan — pure device time, the number a production loop
+    without the tunnel approaches.
     """
     import jax
-    from ctc_asr_tpu.train import init_train_state, make_train_step
+    from ctc_asr_tpu.train import (init_train_state, make_step_fn,
+                                   make_train_step)
 
     rng = np.random.default_rng(0)
     state = init_train_state(cfg)
@@ -99,7 +106,24 @@ def bench_train(cfg, batch, seconds, steps, warmup):
         state, m = step_fn(state, *b)
     float(m["loss"])
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    return (steps * audio_s) / dt, dt / steps
+
+    # device-only: the same step scan-chained inside one dispatch
+    raw_step = make_step_fn(cfg)
+
+    @jax.jit
+    def run_chained(st):
+        def body(carry, _):
+            c2, _m = raw_step(carry, *b)
+            return c2, None
+        st2, _ = jax.lax.scan(body, st, None, length=steps)
+        return jax.tree_util.tree_leaves(st2["params"])[0].ravel()[0]
+
+    float(run_chained(state))  # compile
+    t0 = time.perf_counter()
+    float(run_chained(state))
+    dev_dt = max(time.perf_counter() - t0 - rtt, 1e-9) / steps
+
+    return (steps * audio_s) / dt, dt / steps, dev_dt
 
 
 def bench_decode(cfg, batch, seconds, steps, warmup, beam_width=16):
@@ -157,8 +181,8 @@ def main():
     if args.seconds:
         seconds = args.seconds
 
-    tput, step_time = bench_train(cfg, batch, seconds, args.steps,
-                                  args.warmup)
+    tput, step_time, dev_step_time = bench_train(
+        cfg, batch, seconds, args.steps, args.warmup)
     per_chip = tput / n_chips
     extra = {}
     if args.decode:
@@ -172,6 +196,7 @@ def main():
         "unit": "audio-s/s/chip",
         "vs_baseline": 1.0,
         "step_time_s": round(step_time, 4),
+        "device_step_time_s": round(dev_step_time, 4),
         "batch": batch,
         "utterance_seconds": seconds,
         "n_chips": n_chips,

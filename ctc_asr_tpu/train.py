@@ -183,7 +183,9 @@ def train(cfg: Config, max_steps: int | None = None,
             if heartbeat is not None:
                 heartbeat.beat(step)
 
-            if step % tcfg.log_every == 0 or step == total:
+            # interval 0 disables a hook (matches the CLI help text)
+            if tcfg.log_every > 0 and (step % tcfg.log_every == 0
+                                       or step == total):
                 now = time.perf_counter()
                 writer.write(step, loss=float(m["loss"]),
                              grad_norm=float(m["grad_norm"]),
@@ -193,7 +195,8 @@ def train(cfg: Config, max_steps: int | None = None,
                              epoch=batch.epoch, bucket=batch.bucket_id)
                 t_last = now
 
-            if eval_fn is not None and step % tcfg.eval_every == 0:
+            if eval_fn is not None and tcfg.eval_every > 0 \
+                    and step % tcfg.eval_every == 0:
                 eval_metrics = eval_fn(state)
                 writer.write(step, **{f"eval_{k}": v
                                       for k, v in eval_metrics.items()})
@@ -208,7 +211,8 @@ def train(cfg: Config, max_steps: int | None = None,
                                   "best_wer": best_wer},
                         keep=tcfg.keep_checkpoints, is_best=True)
 
-            if step % tcfg.checkpoint_every == 0 or step == total:
+            if (tcfg.checkpoint_every > 0
+                    and step % tcfg.checkpoint_every == 0) or step == total:
                 ckpt_mod.save_checkpoint(
                     tcfg.train_dir + "/ckpt", step, state,
                     metadata={"loader": {"epoch": batch.epoch,

@@ -1,5 +1,5 @@
-"""Honest Pallas-vs-XLA kernel timings (chained-dependency protocol,
-see diag_step_breakdown.py)."""
+"""Honest Pallas-vs-XLA kernel timings (chained-dependency protocol
+with the scalar-fetch RTT subtracted — see diag_step_breakdown.py)."""
 
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -9,8 +9,22 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_time(name, fn, x, iters=10):
+RTT = None
+
+
+def _rtt():
+    x = jax.device_put(jnp.float32(1.0))
+    for _ in range(2):
+        float(x + 1)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(x + 1)
+    return (time.perf_counter() - t0) / 5
+
+
+def chain_time(name, fn, x, iters=50):
     """fn(x)->(x-like chained value). One jit'd scan, one fetch."""
+    global RTT
 
     @jax.jit
     def run(x0):
@@ -20,10 +34,12 @@ def chain_time(name, fn, x, iters=10):
         return jax.tree_util.tree_leaves(out)[0].ravel()[0]
 
     float(run(x))
+    if RTT is None:
+        RTT = _rtt()
     t0 = time.perf_counter()
     float(run(x))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:40s} {dt*1000:9.2f} ms/iter", flush=True)
+    dt = (time.perf_counter() - t0 - RTT) / iters
+    print(f"{name:40s} {dt*1000:9.3f} ms/iter", flush=True)
     return dt
 
 
@@ -80,10 +96,10 @@ def main():
 
     chain_time("beam pallas (B=8,T=200,K=16)", beam_chain(
         lambda lg: beam_search_decode_pallas(lg, blens, beam_width=K)),
-        blogits, iters=3)
+        blogits, iters=10)
     chain_time("beam xla    (B=8,T=200,K=16)", beam_chain(
         lambda lg: beam_search_decode(lg, blens, beam_width=K)),
-        blogits, iters=3)
+        blogits, iters=10)
 
 
 if __name__ == "__main__":
