@@ -125,6 +125,7 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
     total_audio = 0.0
     import time
     t0 = time.perf_counter()
+    t_warm, audio_warm = t0, 0.0
     shown = 0
     for bi, batch in enumerate(loader.iter_epoch(0)):
         if max_batches is not None and bi >= max_batches:
@@ -146,11 +147,22 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
                       flush=True)
                 shown += 1
         total_audio += batch.audio_seconds
+        if bi == 0:
+            # first batch pays jit compilation (tens of seconds through
+            # the axon relay); exclude it from the steady-state RTF
+            t_warm, audio_warm = time.perf_counter(), total_audio
     wall = time.perf_counter() - t0
     out = acc.summary()
     # RTF: processing time per second of audio (north-star decode metric,
-    # BASELINE.json:2). <1 means faster than real time.
-    out["rtf"] = wall / max(total_audio, 1e-9)
+    # BASELINE.json:2). <1 means faster than real time. Steady-state
+    # (post-compile) when more than one batch ran; rtf_incl_compile has
+    # the raw number.
+    steady_audio = total_audio - audio_warm
+    if steady_audio > 0:
+        out["rtf"] = (wall - (t_warm - t0)) / steady_audio
+    else:
+        out["rtf"] = wall / max(total_audio, 1e-9)
+    out["rtf_incl_compile"] = wall / max(total_audio, 1e-9)
     out["audio_seconds"] = total_audio
     out["wall_seconds"] = wall
     return out
