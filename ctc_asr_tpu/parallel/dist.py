@@ -10,8 +10,15 @@ point of the SPMD design.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6 exports shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..config import Config, MeshConfig
 from .mesh import batch_sharding, build_mesh, state_shardings
@@ -26,58 +33,113 @@ def initialize_distributed(cfg: MeshConfig) -> None:
             process_id=cfg.process_id)
 
 
+def _without_pallas(cfg: Config) -> Config:
+    """cfg with every Pallas kernel flag off (XLA twin paths)."""
+    import dataclasses as dc
+    return dc.replace(
+        cfg,
+        features=dc.replace(cfg.features, use_pallas=False),
+        model=dc.replace(cfg.model, use_pallas_rnn=False,
+                         use_pallas_conv=False),
+        train=dc.replace(cfg.train, use_pallas_ctc=False),
+        decode=dc.replace(cfg.decode, use_pallas=False))
+
+
 def make_sharded_train_step(cfg: Config, mesh, state_template,
                             donate: bool = True):
-    """jit the train step with explicit mesh shardings.
+    """jit the train step over the mesh. Two regimes:
 
-    Batch inputs shard their leading dim over 'data'; state follows
-    ``state_shardings`` (replicated, or 'model'-sharded wide matmuls
-    when cfg.mesh.shard_model). XLA inserts the gradient all-reduce.
+    - **DP (shard_model=False, the primary strategy)**: shard_map fully
+      manual over the mesh — ``pallas_call`` cannot be auto-partitioned
+      by the SPMD partitioner (XLA raises "Mosaic kernels cannot be
+      automatically partitioned", and even a size-1 auto axis trips
+      it), so each device runs the Pallas kernels on its LOCAL batch
+      shard and gradients pmean over 'data' inside the step. XLA places
+      the all-reduce on ICI.
+    - **DP+TP (shard_model=True)**: GSPMD auto-partitioning so
+      ``state_shardings``'s 'model'-axis TP of wide matmuls applies;
+      the step runs the XLA twin kernels (the Pallas sequence kernels
+      are not written for gate-dim sharding — an auto axis over them
+      is a compile error, see above). Gradient psums are inserted by
+      XLA.
     """
     from ..train import make_step_fn
 
-    step_fn = make_step_fn(cfg)
     st_shard = state_shardings(state_template, mesh,
                                cfg.mesh.shard_model)
     bsh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     metrics_shard = {"loss": rep, "grad_norm": rep, "lr": rep}
+
+    if cfg.mesh.shard_model:
+        step_fn = make_step_fn(_without_pallas(cfg))
+        return jax.jit(
+            step_fn,
+            in_shardings=(st_shard, bsh, bsh, bsh, bsh),
+            out_shardings=(st_shard, metrics_shard),
+            donate_argnums=(0,) if donate else ())
+
+    step_fn = make_step_fn(cfg, data_axis="data")
+    st_spec = jax.tree.map(lambda _: P(), state_template)
+    metrics_spec = {"loss": P(), "grad_norm": P(), "lr": P()}
+    sharded = shard_map(
+        step_fn, mesh=mesh, axis_names=set(mesh.axis_names),
+        in_specs=(st_spec, P("data"), P("data"), P("data"), P("data")),
+        out_specs=(st_spec, metrics_spec), check_vma=False)
     return jax.jit(
-        step_fn,
+        sharded,
         in_shardings=(st_shard, bsh, bsh, bsh, bsh),
         out_shardings=(st_shard, metrics_shard),
         donate_argnums=(0,) if donate else ())
 
 
 def make_sharded_eval_step(cfg: Config, mesh, shard_model: bool = False):
-    """Sharded (params, samples, lens) -> (logits, logit_lens)."""
+    """Sharded (params, samples, lens) -> (logits, logit_lens).
+
+    Same two regimes as make_sharded_train_step: fully-manual shard_map
+    with Pallas kernels for DP, GSPMD with the XLA twins for TP."""
     from .. import features as feat_mod
     from ..models import apply_encoder
 
+    ecfg = _without_pallas(cfg) if shard_model else cfg
+
     def eval_fn(params, samples, sample_lengths):
         feats, flens = feat_mod.extract_features(
-            samples, sample_lengths, cfg.features)
-        return apply_encoder(params, feats, flens, cfg.model, train=False)
+            samples, sample_lengths, ecfg.features)
+        return apply_encoder(params, feats, flens, ecfg.model,
+                             train=False)
 
     bsh = batch_sharding(mesh)
-    return jax.jit(eval_fn, in_shardings=(None, bsh, bsh),
+    if shard_model:
+        return jax.jit(eval_fn, in_shardings=(None, bsh, bsh),
+                       out_shardings=(bsh, bsh))
+    sharded = shard_map(
+        eval_fn, mesh=mesh, axis_names=set(mesh.axis_names),
+        in_specs=(None, P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False)
+    return jax.jit(sharded, in_shardings=(None, bsh, bsh),
                    out_shardings=(bsh, bsh))
 
 
 def make_distributed_beam_decoder(cfg: Config, mesh, lm=None):
     """Data-sharded beam decode: each device decodes its batch shard
     on-device (beam state never leaves the chip); outputs stay sharded
-    over 'data' and host reads gather over ICI/DCN."""
+    over 'data' and host reads gather over ICI/DCN. Fully-manual
+    shard_map so the Pallas beam kernel (cfg.decode.use_pallas) is
+    usable."""
     from ..ops import beam as beam_mod
+    from ..ops.dispatch import resolve_use_pallas
 
     decoder = beam_mod.make_beam_decoder(
         beam_width=cfg.decode.beam_width, lm=lm,
         lm_weight=cfg.decode.lm_weight,
-        word_bonus=cfg.decode.word_bonus)
+        word_bonus=cfg.decode.word_bonus,
+        use_pallas=resolve_use_pallas(cfg.decode.use_pallas))
     bsh = batch_sharding(mesh)
 
-    def decode(logits, logit_lens):
-        return decoder(logits, logit_lens)
-
-    return jax.jit(decode, in_shardings=(bsh, bsh),
+    sharded = shard_map(
+        decoder, mesh=mesh, axis_names=set(mesh.axis_names),
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False)
+    return jax.jit(sharded, in_shardings=(bsh, bsh),
                    out_shardings=(bsh, bsh))

@@ -73,13 +73,20 @@ def init_train_state(cfg: Config, feat_dim: int | None = None) -> dict:
             "step": jnp.zeros((), jnp.int32), "rng": rng}
 
 
-def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None):
+def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None,
+                 data_axis: str | None = None):
     """The bare (unjitted) train step ``(state, samples, sample_lens,
     labels, label_lens) -> (state, metrics)``.
 
     Shared by the single-chip path (make_train_step jits it directly)
-    and the mesh path (parallel/dist.py jits it with shardings) — the
+    and the mesh path (parallel/dist.py wraps it in shard_map) — the
     SPMD design means one step function for every topology.
+
+    ``data_axis``: when set, the step runs manually sharded over that
+    mesh axis (inside shard_map): per-shard loss/grads are pmean'd over
+    the axis before the optimizer (every shard then applies the same
+    update), and the dropout rng folds in the shard index so masks
+    decorrelate across shards.
     """
     from .ops.dispatch import resolve_use_pallas
     if use_pallas_ctc is None:
@@ -90,6 +97,9 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None):
 
     def step_fn(state, samples, sample_lengths, labels, label_lengths):
         rng, dropout_rng = jax.random.split(state["rng"])
+        if data_axis is not None:
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(data_axis))
         feats, flens = feat_mod.extract_features(
             samples, sample_lengths, cfg.features)
 
@@ -101,6 +111,10 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None):
                             use_pallas=use_pallas_ctc)
 
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        if data_axis is not None:
+            # equal-size shards (loader contract) => pmean == global mean
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
