@@ -55,6 +55,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TIME_BLOCK = 8
+_VMEM_BUDGET = 12 << 20  # empirical: see _pick_tt
+
+
+def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
+    """Largest time block whose pipeline buffers fit the scoped budget.
+
+    The scoped-vmem "stack" allocation covers the double-buffered
+    streamed blocks (the resident wh/scratch live outside it): the
+    LSTM fwd streams G+2H+G and its BPTT streams 7H+G per timestep —
+    ~11H bf16 each way at G=4H. The budget is calibrated empirically
+    on v5e (16M scoped limit): B=64/H=512/TT=8 overflows at 20.5M,
+    B=128/TT=2 overflows by 24K (block padding beyond this linear
+    model), while B=32/TT=8 and B=64/TT=4 — both 11.5M by this
+    estimate — compile and run."""
+    per_t = nd * B * 11 * H * 2 * 2  # bf16 x double-buffered
+    tt = TIME_BLOCK
+    while tt > 1 and per_t * tt > _VMEM_BUDGET:
+        tt //= 2
+    return max(1, min(tt, T))
 
 
 def _pad_time(x, Tp):
@@ -193,7 +212,7 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
 def _run_fwd(xproj, b, wh, start, end, interpret):
     nd, T, B, G = xproj.shape
     H = wh.shape[1]
-    TT = min(TIME_BLOCK, T)
+    TT = _pick_tt(nd, B, H, G, T)
     nblk = -(-T // TT)
     xproj = _pad_time(xproj, nblk * TT)
     kernel = functools.partial(_fwd_kernel, B=B, H=H, nd=nd, TT=TT)
@@ -232,7 +251,7 @@ def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
     """g_out/gates/c_seq are block-padded [nd, Tp, B, *]."""
     nd, Tp, B, G = gates.shape
     H = wh.shape[1]
-    TT = min(TIME_BLOCK, Tp)
+    TT = _pick_tt(nd, B, H, G, Tp)
     nblk = Tp // TT
     kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
     rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
@@ -428,7 +447,7 @@ def _gru_bwd_kernel(gout_ref, gates_ref, h_ref, hprev_ref, wh_ref,
 def _gru_run_fwd(xproj, b, wh, start, end, interpret):
     nd, T, B, G = xproj.shape      # G = 3H
     H = wh.shape[1]
-    TT = min(TIME_BLOCK, T)
+    TT = _pick_tt(nd, B, H, G, T)
     nblk = -(-T // TT)
     xproj = _pad_time(xproj, nblk * TT)
     kernel = functools.partial(_gru_fwd_kernel, B=B, H=H, nd=nd, TT=TT)
@@ -464,7 +483,7 @@ def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
     nd, Tp, B, G4 = gates.shape
     H = wh.shape[1]
     G = wh.shape[2]
-    TT = min(TIME_BLOCK, Tp)
+    TT = _pick_tt(nd, B, H, G, Tp)
     nblk = Tp // TT
     kernel = functools.partial(_gru_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
     rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
