@@ -106,7 +106,11 @@ class DataConfig:
     sortagrad: bool = True  # first epoch in length order (reference behavior)
     seed: int = 0
     prefetch: int = 2
-    num_workers: int = 4  # feature-extraction worker threads
+    # wav-decode worker threads (features run on-device). 0 = auto
+    # (2x cores, capped at 16): decode throughput scales with cores
+    # until oversubscription — on a 2-core host, 4 workers measured
+    # 7.4-11.6k audio-s/s but 32 workers only 4.8k.
+    num_workers: int = 0
 
 
 @dataclass(frozen=True)
@@ -149,7 +153,10 @@ class DecodeConfig:
     lm_path: str = ""  # char n-gram LM arrays (empty = no fusion)
     lm_weight: float = 0.8
     word_bonus: float = 1.0
-    use_pallas: bool = False  # Pallas beam kernel vs pure-JAX beam
+    # Pallas beam kernel vs pure-JAX beam (decode-identical; 3x faster
+    # acoustic, 5.2x with char-LM fusion; auto-falls back on CPU and
+    # for LM tables beyond the kernel's VMEM budget)
+    use_pallas: bool = True
     # host-side word-LM N-best rescoring (reference's 2nd LM mode)
     word_lm_path: str = ""
     rescore_alpha: float = 1.0

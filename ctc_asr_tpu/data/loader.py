@@ -26,6 +26,7 @@ design (BASELINE.json:5):
 from __future__ import annotations
 
 import math
+import os
 import threading
 import queue as queue_mod
 from concurrent.futures import ThreadPoolExecutor
@@ -151,7 +152,11 @@ class DataLoader:
         self.epoch = 0
         self.position = 0  # next batch index within the current epoch plan
         self._plan_cache: tuple | None = None  # (epoch, plan)
-        self._pool = ThreadPoolExecutor(max_workers=data_cfg.num_workers)
+        # num_workers == 0: auto-size to the host (see DataConfig);
+        # 2x cores wins by overlapping file I/O with decode
+        self._n_workers = data_cfg.num_workers or min(
+            2 * (os.cpu_count() or 2), 16)
+        self._pool = ThreadPoolExecutor(max_workers=self._n_workers)
 
     # -- deterministic epoch planning ------------------------------------
 
@@ -211,7 +216,7 @@ class DataLoader:
             from . import native_io
             if native_io.available():
                 samples, slens, rates = native_io.decode_batch(
-                    paths, max_samples, n_threads=self.cfg.num_workers)
+                    paths, max_samples, n_threads=self._n_workers)
                 redo = [i for i in range(B)
                         if slens[i] == 0 or rates[i] != self.spec.sample_rate]
             else:

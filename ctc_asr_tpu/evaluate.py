@@ -31,6 +31,7 @@ def make_decoder(cfg: Config):
         return jax.jit(decode)
     if cfg.decode.method == "beam":
         from .ops import beam as beam_mod
+        from .ops.dispatch import resolve_use_pallas
         lm = None
         if cfg.decode.lm_path:
             from .ops import lm as lm_mod
@@ -39,7 +40,7 @@ def make_decoder(cfg: Config):
             beam_width=cfg.decode.beam_width, lm=lm,
             lm_weight=cfg.decode.lm_weight,
             word_bonus=cfg.decode.word_bonus,
-            use_pallas=cfg.decode.use_pallas)
+            use_pallas=resolve_use_pallas(cfg.decode.use_pallas))
     raise ValueError(f"unknown decode method {cfg.decode.method!r}")
 
 
