@@ -69,7 +69,9 @@ def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     B=128/TT=2 overflows by 24K (block padding beyond this linear
     model), while B=32/TT=8 and B=64/TT=4 — both 11.5M by this
     estimate — compile and run."""
-    per_t = nd * B * 11 * H * 2 * 2  # bf16 x double-buffered
+    # widest pipeline is the BPTT pass: gout H + saved gates 4H + two
+    # c/h views + dxproj G = G + 7H per timestep (11H for LSTM's G=4H)
+    per_t = nd * B * (G + 7 * H) * 2 * 2  # bf16 x double-buffered
     tt = TIME_BLOCK
     while tt > 1 and per_t * tt > _VMEM_BUDGET:
         tt //= 2

@@ -29,10 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-try:  # JAX >= 0.6 exports shard_map at top level
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map  # requires JAX >= 0.6 (env pins 0.9)
 
 from ..config import Config
 from ..ops import beam as beam_mod

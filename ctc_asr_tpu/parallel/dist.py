@@ -15,10 +15,7 @@ import functools
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-try:  # JAX >= 0.6 exports shard_map at top level
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map  # requires JAX >= 0.6 (env pins 0.9)
 
 from ..config import Config, MeshConfig
 from .mesh import batch_sharding, build_mesh, state_shardings

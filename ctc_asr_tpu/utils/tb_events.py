@@ -121,11 +121,16 @@ class EventFileWriter:
         w.close()
     """
 
+    _seq = 0  # per-process uniquifier (same-second restarts must not
+    # append to an existing file — 'ab' would interleave two runs)
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         host = socket.gethostname() or "host"
+        EventFileWriter._seq += 1
         self.path = os.path.join(
-            log_dir, f"events.out.tfevents.{int(time.time())}.{host}")
+            log_dir, f"events.out.tfevents.{int(time.time())}.{host}"
+                     f".{os.getpid()}.{EventFileWriter._seq}")
         self._fh = open(self.path, "ab", buffering=0)
         # TB requires a leading file_version event
         self._fh.write(_tfrecord(_event(time.time(),

@@ -116,10 +116,6 @@ def main():
         timed_chain(f"{name} both-convs fwd+bwd", params, fwdbwd)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def blocked_main():
     """RTT-corrected fullband vs freq-blocked (diag_conv3 impl)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -146,3 +142,14 @@ def blocked_main():
             l, g = jax.value_and_grad(loss)(p)
             return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
         timed_chain(f"{name} fwd+bwd", params, fwdbwd)
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocked", action="store_true",
+                    help="run the fullband-vs-freq-blocked comparison")
+    if ap.parse_args().blocked:
+        blocked_main()
+    else:
+        main()
