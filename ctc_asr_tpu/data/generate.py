@@ -162,24 +162,26 @@ def prepare_tedlium(root: str, out_dir: str, split: str = "train") -> str:
     for fn in sorted(os.listdir(stm_dir)):
         if not fn.endswith(".stm"):
             continue
-        talk_wav = None
+        talk_samples, talk_sr = None, None
         with open(os.path.join(stm_dir, fn)) as f:
             for i, line in enumerate(f):
                 parsed = parse_stm_line(line)
                 if parsed is None:
                     continue
                 talk, t0, t1, transcript = parsed
-                if talk_wav is None:
-                    src = os.path.join(sph_dir, talk + ".sph")
-                    talk_wav = os.path.join(wav_dir, talk + ".wav")
-                    if not os.path.exists(talk_wav):
-                        convert_audio(src, talk_wav)
-                # slice the segment out of the talk wav
                 seg_path = os.path.join(wav_dir, f"{talk}_{i:04d}.wav")
                 if not os.path.exists(seg_path):
-                    samples, sr = audio_mod.read_wav(talk_wav)
-                    seg = samples[int(t0 * sr):int(t1 * sr)]
-                    audio_mod.write_wav(seg_path, seg, sr)
+                    if talk_samples is None:
+                        # decode the talk ONCE; slicing 500 segments by
+                        # re-reading a 1h wav per segment is O(n^2) I/O
+                        src = os.path.join(sph_dir, talk + ".sph")
+                        talk_wav = os.path.join(wav_dir, talk + ".wav")
+                        if not os.path.exists(talk_wav):
+                            convert_audio(src, talk_wav)
+                        talk_samples, talk_sr = audio_mod.read_wav(talk_wav)
+                    seg = talk_samples[int(t0 * talk_sr):
+                                       int(t1 * talk_sr)]
+                    audio_mod.write_wav(seg_path, seg, talk_sr)
                 utts.append(Utterance(
                     seg_path, t1 - t0,
                     text_mod.normalize_transcript(transcript)))

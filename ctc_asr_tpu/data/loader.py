@@ -151,6 +151,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self.position = 0  # next batch index within the current epoch plan
+        self.consumed: tuple | None = None  # (epoch, pos) last yielded
         self._plan_cache: tuple | None = None  # (epoch, plan)
         # num_workers == 0: auto-size to the host (see DataConfig);
         # 2x cores wins by overlapping file I/O with decode
@@ -195,11 +196,6 @@ class DataLoader:
         return len(self.epoch_plan(self.epoch))
 
     # -- materialization --------------------------------------------------
-
-    def _load_utterance(self, idx: int):
-        u = self.shard[idx]
-        samples, _ = audio_mod.read_wav(u.path, self.spec.sample_rate)
-        return u, samples
 
     def _decode_batch(self, paths: list, max_samples: int):
         """Batch of wav paths -> (padded [B, S] float32, lengths [B]).
@@ -255,10 +251,23 @@ class DataLoader:
     # -- iteration + resume ----------------------------------------------
 
     def state_dict(self) -> dict:
+        """Cursor of the NEXT batch to train on. With prefetch active
+        the internal position runs ahead of what the consumer has seen;
+        ``consumed`` (set by the prefetch iterator per yielded batch)
+        is the honest resume point."""
+        if self.consumed is not None:
+            ep, pos = self.consumed
+            return {"epoch": ep, "position": pos + 1, "seed": self.cfg.seed}
         return {"epoch": self.epoch, "position": self.position,
                 "seed": self.cfg.seed}
 
     def load_state_dict(self, state: dict) -> None:
+        saved_seed = state.get("seed", self.cfg.seed)
+        if saved_seed != self.cfg.seed:
+            raise ValueError(
+                f"checkpoint data seed {saved_seed} != cfg.data.seed "
+                f"{self.cfg.seed}: the saved cursor indexes a different "
+                "batch plan (fix the config or start a fresh run)")
         self.epoch = int(state["epoch"])
         self.position = int(state["position"])
 
@@ -295,22 +304,42 @@ class _PrefetchIterator:
         self._thread.start()
 
     def _producer(self):
-        while not self._stop.is_set():
-            (b, idxs, valid), (ep, pos) = self.loader._next_assignment()
-            batch = self.loader.materialize(b, idxs, valid)
-            batch.epoch, batch.position = ep, pos
+        try:
             while not self._stop.is_set():
-                try:
-                    self.queue.put(batch, timeout=0.5)
-                    break
-                except queue_mod.Full:
-                    continue
+                (b, idxs, valid), (ep, pos) = \
+                    self.loader._next_assignment()
+                batch = self.loader.materialize(b, idxs, valid)
+                batch.epoch, batch.position = ep, pos
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(batch, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        continue
+        except BaseException as e:  # surface in the consumer, don't hang
+            self._put_forever(e)
+
+    def _put_forever(self, item):
+        while not self._stop.is_set():
+            try:
+                self.queue.put(item, timeout=0.5)
+                return
+            except queue_mod.Full:
+                continue
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Batch:
-        return self.queue.get()
+        item = self.queue.get()
+        if isinstance(item, BaseException):
+            # producer died (e.g. unreadable wav): re-raise HERE instead
+            # of blocking forever on an empty queue
+            raise RuntimeError("data loader producer failed") from item
+        # the loader's own cursor runs prefetch batches ahead; track
+        # what was actually CONSUMED so state_dict() resumes exactly
+        self.loader.consumed = (item.epoch, item.position)
+        return item
 
     def close(self):
         self._stop.set()

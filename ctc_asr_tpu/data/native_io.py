@@ -27,20 +27,20 @@ _build_failed = False
 
 def _ensure_built() -> bool:
     global _build_failed
-    if os.path.exists(_SO_PATH):
-        src = os.path.join(_NATIVE_DIR, "ctcasr_io.cc")
-        if os.path.exists(src) and \
-                os.path.getmtime(src) <= os.path.getmtime(_SO_PATH):
-            return True
+    src = os.path.join(_NATIVE_DIR, "ctcasr_io.cc")
+    have_so = os.path.exists(_SO_PATH)
+    if have_so and (not os.path.exists(src) or
+                    os.path.getmtime(src) <= os.path.getmtime(_SO_PATH)):
+        return True  # up-to-date, or deployed without sources
     if _build_failed:
-        return False
+        return have_so  # stale-but-working .so beats scipy fallback
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR],
                        check=True, capture_output=True, timeout=120)
         return os.path.exists(_SO_PATH)
     except (subprocess.SubprocessError, OSError):
         _build_failed = True
-        return False
+        return have_so
 
 
 def _load():

@@ -183,7 +183,10 @@ def _step(state: BeamState, lp: jnp.ndarray, valid,
     pos = jnp.arange(U, dtype=jnp.int32)[None, :]
     write = is_ext[:, None] & (pos == par_len[:, None])
     new_prefixes = jnp.where(write, char[:, None], par_prefix)
-    new_lengths = par_len + is_ext.astype(jnp.int32)
+    # clamp at U: once the prefix buffer is full the write above is a
+    # no-op, and an unclamped length would exceed the ids array width
+    # (callers slice ids[:length])
+    new_lengths = jnp.minimum(par_len + is_ext.astype(jnp.int32), U)
     new_last = jnp.where(is_ext, char, state.last[parent])
     new_state = BeamState(
         prefixes=new_prefixes,

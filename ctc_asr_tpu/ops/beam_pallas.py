@@ -250,7 +250,11 @@ def _beam_kernel(lp_ref, len_ref, *refs,
         par_h2 = jnp.sum(h2r * selrow_u)
 
         ext = jnp.logical_not(is_stay)
-        new_len = par_len + jnp.where(ext, 1.0, 0.0)
+        # clamp at U (matches ops/beam.py): a full prefix buffer makes
+        # the rowm write below a no-op, so the length must not grow past
+        # the ids width either
+        new_len = jnp.minimum(par_len + jnp.where(ext, 1.0, 0.0),
+                              float(U))
         new_last = jnp.where(ext, c_sel, par_last)
         rowm = (laneU == par_len.astype(jnp.int32)) & ext
         new_pfx_row = jnp.where(rowm[0:1] if rowm.ndim > 1 else rowm,

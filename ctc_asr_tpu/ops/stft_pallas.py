@@ -74,21 +74,27 @@ def _segment_dft(win_length: int, hop: int, n_fft: int):
     return cos_segs, msin_segs
 
 
-BUF_ROWS = FRAME_TILE + 16  # 144: fits 128 frames + n_seg-1 halo, 8-row-aligned
+def _buf_rows(n_seg: int) -> int:
+    """Tile rows + halo, 8-row aligned. The halo must cover the
+    n_seg-1 row shifts (frame 127 of a tile reads rows up to
+    127 + n_seg - 1); a fixed 8-row halo silently fed uninitialized
+    VMEM into the matmuls for n_seg > 9 (window/hop ratio > 9)."""
+    return FRAME_TILE + _round_up(max(n_seg - 1, 1), 8)
 
 
-def _dma_tile(rows_hbm, buf, sem, b, tile, slot):
+def _dma_tile(rows_hbm, buf, sem, b, tile, slot, buf_rows):
     """Async copy of tile's rows+halo into buffer slot ``slot``."""
     return pltpu.make_async_copy(
-        rows_hbm.at[b, pl.ds(tile * FRAME_TILE, BUF_ROWS - 8), :],
-        buf.at[slot, pl.ds(0, BUF_ROWS - 8)], sem.at[slot])
+        rows_hbm.at[b, pl.ds(tile * FRAME_TILE, buf_rows), :],
+        buf.at[slot, pl.ds(0, buf_rows)], sem.at[slot])
 
 
 def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
                  out_ref, buf, sem, *, n_seg: int, use_dct: bool,
-                 log_floor: float, num_tiles: int, n_b: int):
+                 log_floor: float, num_tiles: int, n_b: int,
+                 buf_rows: int):
     """Grid (B, num_tiles). rows_hbm: [B, R, hop_pad] in HBM; buf: VMEM
-    scratch [2, BUF_ROWS, hop_pad] (double-buffered); constants
+    scratch [2, buf_rows, hop_pad] (double-buffered); constants
     VMEM-resident.
 
     One 8-row-aligned DMA fetches the tile's rows plus halo (Mosaic
@@ -111,14 +117,15 @@ def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
     for s in (0, 1):  # static slots: dynamic scratch indices defeat Mosaic
         @pl.when(jnp.logical_and(step == 0, slot == s))
         def _first(s=s):
-            _dma_tile(rows_hbm, buf, sem, b, tile, s).start()
+            _dma_tile(rows_hbm, buf, sem, b, tile, s, buf_rows).start()
 
         @pl.when(jnp.logical_and(jnp.logical_not(is_last), slot == s))
         def _prefetch(s=s):
-            _dma_tile(rows_hbm, buf, sem, nb, ntile, 1 - s).start()
+            _dma_tile(rows_hbm, buf, sem, nb, ntile, 1 - s,
+                      buf_rows).start()
 
     def _compute(s):
-        _dma_tile(rows_hbm, buf, sem, b, tile, s).wait()
+        _dma_tile(rows_hbm, buf, sem, b, tile, s, buf_rows).wait()
         cur = buf[s]
         re = jnp.dot(cur[0:FRAME_TILE], cos_ref[0],
                      preferred_element_type=jnp.float32)
@@ -126,7 +133,7 @@ def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
                      preferred_element_type=jnp.float32)
         for k in range(1, n_seg):
             # rows k..k+127 == roll up by k, take the first 128 rows
-            seg = pltpu.roll(cur, BUF_ROWS - k, axis=0)[0:FRAME_TILE]
+            seg = pltpu.roll(cur, buf_rows - k, axis=0)[0:FRAME_TILE]
             re = re + jnp.dot(seg, cos_ref[k],
                               preferred_element_type=jnp.float32)
             im = im + jnp.dot(seg, msin_ref[k],
@@ -163,9 +170,10 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
 
     num_tiles = -(-T // FRAME_TILE)
     T_pad = num_tiles * FRAME_TILE
-    # Rows needed: the last tile DMAs BUF_ROWS-8 rows from r0 = T_pad -
+    buf_rows = _buf_rows(n_seg)
+    # Rows needed: the last tile DMAs buf_rows rows from r0 = T_pad -
     # FRAME_TILE; pad samples to that many whole hops.
-    R = T_pad + (BUF_ROWS - 8 - FRAME_TILE)
+    R = T_pad + (buf_rows - FRAME_TILE)
     S_need = R * hop
     if S_need > S:
         samples = jnp.pad(samples, ((0, 0), (0, S_need - S)))
@@ -185,7 +193,7 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
 
     kernel = functools.partial(_stft_kernel, n_seg=n_seg, use_dct=use_dct,
                                log_floor=log_floor, num_tiles=num_tiles,
-                               n_b=B)
+                               n_b=B, buf_rows=buf_rows)
     const3 = lambda *_: (0, 0, 0)  # noqa: E731
     const2 = lambda *_: (0, 0)     # noqa: E731
     out = pl.pallas_call(
@@ -205,7 +213,7 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
         out_specs=pl.BlockSpec((1, FRAME_TILE, F), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, F), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, BUF_ROWS, hop_pad), jnp.float32),
+            pltpu.VMEM((2, buf_rows, hop_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -113,3 +113,40 @@ def test_loader_rejects_empty():
     from ctc_asr_tpu.data.manifest import Manifest
     with pytest.raises(ValueError):
         DataLoader(Manifest([]), DATA_CFG, FEAT_CFG)
+
+
+def test_producer_failure_raises_not_hangs(corpus, tmp_path):
+    """A bad wav path must surface as an error in the consumer; the
+    pre-fix behavior was a silently dead producer thread and an
+    eternal queue.get()."""
+    from ctc_asr_tpu.data.manifest import Manifest, Utterance
+    bad = Manifest([Utterance(str(tmp_path / "missing.wav"), 1.0,
+                              "ghost utterance")] * 4)
+    loader = DataLoader(bad, DATA_CFG, FEAT_CFG)
+    it = iter(loader)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
+    it.close()
+
+
+def test_state_dict_tracks_consumed_not_prefetched(corpus):
+    """With prefetch in flight the internal cursor runs ahead;
+    state_dict() must resume from the last CONSUMED batch + 1."""
+    cfg = DataConfig(batch_size=4, num_buckets=3, num_workers=2,
+                     prefetch=2, min_audio_seconds=0.1,
+                     max_audio_seconds=10.0)
+    loader = DataLoader(corpus, cfg, FEAT_CFG)
+    it = iter(loader)
+    b = next(it)
+    import time
+    time.sleep(0.3)  # let the producer run ahead
+    st = loader.state_dict()
+    it.close()
+    assert st["epoch"] == b.epoch
+    assert st["position"] == b.position + 1
+
+
+def test_load_state_dict_rejects_seed_mismatch(corpus):
+    loader = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    with pytest.raises(ValueError, match="seed"):
+        loader.load_state_dict({"epoch": 0, "position": 1, "seed": 999})

@@ -72,3 +72,16 @@ def test_extract_features_dispatches_pallas(monkeypatch):
     feats, flens = feat_mod.extract_features(x, lens, cfg)
     assert calls.get("hit")
     assert feats.shape[2] == 32
+
+
+def test_parity_many_segments():
+    """win/hop ratio > 9 (n_seg=11) exercises the halo sizing: the
+    fixed 8-row halo fed uninitialized VMEM into frames near each
+    tile edge for n_seg > 9."""
+    cfg = FeatureConfig(win_ms=32.0, hop_ms=3.0, n_mels=40,
+                        use_pallas=False)
+    assert -(-cfg.win_length // cfg.hop_length) == 11
+    x = _signal(2, 1.0, cfg.sample_rate, seed=3)
+    want = np.asarray(feat_mod._jnp_features(x, cfg))
+    got = np.asarray(features_pallas(x, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
