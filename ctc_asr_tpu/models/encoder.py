@@ -142,16 +142,38 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
     use_pallas_rnn = resolve_use_pallas(cfg.use_pallas_rnn) \
         and cfg.rnn_type in ("lstm", "gru")
     x = jnp.swapaxes(x, 0, 1)                      # [T', B, D]
-    for layer in params["rnn"]:
-        if cfg.bidirectional:
-            x = rnn_mod.birnn_apply(layer, x, out_lens, cfg.rnn_type,
-                                    cdt, use_pallas=use_pallas_rnn)
-        else:
-            x = rnn_mod.rnn_apply(layer, x, out_lens, cfg.rnn_type, cdt,
-                                  use_pallas=use_pallas_rnn)
-        if train:
-            x = dropout(next(rngs), x, cfg.dropout, train)
-
-    logits = dense_apply(params["head"], x, cdt)   # [T', B, C] f32
+    if use_pallas_rnn and cfg.bidirectional and params["rnn"]:
+        # No-concat BiRNN chaining (rnn.pair_xproj): every inter-layer
+        # boundary and the head consume the direction-major [2, T, B, H]
+        # kernel outputs directly; the [T, B, 2H] concat (and its
+        # ~0.6 ms/step lane-split backward relayout, docs/DESIGN.md §4b)
+        # never materializes.
+        pair = None
+        for layer in params["rnn"]:
+            stacked = rnn_mod.stack_bi_params(layer)
+            if pair is None:
+                xd = rnn_mod.stack_dirs(x).astype(cdt)
+                xproj = jax.lax.dot_general(
+                    xd, stacked["wx"].astype(cdt),
+                    dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            else:
+                xproj = rnn_mod.pair_xproj(pair, stacked["wx"], cdt)
+            pair = rnn_mod.birnn_pair_apply(stacked, xproj, out_lens,
+                                            cfg.rnn_type)
+            if train:
+                pair = dropout(next(rngs), pair, cfg.dropout, train)
+        logits = rnn_mod.pair_dense(params["head"], pair, cdt)
+    else:
+        for layer in params["rnn"]:
+            if cfg.bidirectional:
+                x = rnn_mod.birnn_apply(layer, x, out_lens, cfg.rnn_type,
+                                        cdt, use_pallas=use_pallas_rnn)
+            else:
+                x = rnn_mod.rnn_apply(layer, x, out_lens, cfg.rnn_type,
+                                      cdt, use_pallas=use_pallas_rnn)
+            if train:
+                x = dropout(next(rngs), x, cfg.dropout, train)
+        logits = dense_apply(params["head"], x, cdt)   # [T', B, C] f32
     logits = jnp.swapaxes(logits, 0, 1)            # [B, T', C]
     return logits, out_lens

@@ -163,6 +163,97 @@ def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
                      use_pallas=use_pallas)
 
 
+def stack_bi_params(params: dict) -> dict:
+    """{"fwd": ..., "bwd": ...} -> direction-stacked [2, ...] weights."""
+    return {
+        "wx": jnp.concatenate([params["fwd"]["wx"][None],
+                               params["bwd"]["wx"][None]], 0),
+        "wh": jnp.concatenate([params["fwd"]["wh"][None],
+                               params["bwd"]["wh"][None]], 0),
+        "b": jnp.concatenate([params["fwd"]["b"][None],
+                              params["bwd"]["b"][None]], 0),
+    }
+
+
+def stack_dirs(x: jnp.ndarray) -> jnp.ndarray:
+    """[T, B, F] -> [2, T, B, F]: the (natural, time-flipped) direction
+    inputs of a fused BiRNN layer (static flip — a layout view, see
+    birnn_apply trick 1)."""
+    return jnp.stack([x, jnp.flip(x, axis=0)], axis=0)
+
+
+def pair_xproj(out_pair: jnp.ndarray, wx: jnp.ndarray,
+               compute_dtype) -> jnp.ndarray:
+    """Next-layer input projections straight from direction-major BiRNN
+    outputs — the no-concat inter-layer boundary.
+
+    out_pair: [2, T, B, H] from birnn_pair_apply (index 0 = forward in
+    natural time, index 1 = backward in flipped time); wx: [2, 2H, G]
+    next-layer input weights (row blocks [:H] consume the forward half,
+    [H:] the backward half of the logical concat).
+
+    Equivalent to ``dot_general(stack_dirs(concat([fwd, flip(bwd)])),
+    wx)`` with the concat algebraically distributed over wx's row
+    blocks: the [T, B, 2H] concat never materializes, and its backward
+    — a lane-split relayout measured ~0.6 ms/step on v5e (see
+    docs/DESIGN.md §4b) — disappears; gradients reach fwd/bwd as two
+    flip-adds instead."""
+    H = out_pair.shape[-1]
+    fwd, bwdr = out_pair[0], out_pair[1]
+    # direction inputs of the logical concat halves:
+    #   natural order  = [fwd,        flip(bwdr)]
+    #   flipped order  = [flip(fwd),  bwdr      ]
+    a = stack_dirs(fwd).astype(compute_dtype)              # [2, T, B, H]
+    bz = jnp.stack([jnp.flip(bwdr, axis=0), bwdr],
+                   axis=0).astype(compute_dtype)           # [2, T, B, H]
+    dn = (((3,), (1,)), ((0,), (0,)))
+    wa = wx[:, :H].astype(compute_dtype)                   # [2, H, G]
+    wb = wx[:, H:].astype(compute_dtype)                   # [2, H, G]
+    return (jax.lax.dot_general(a, wa, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(bz, wb, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def pair_dense(params: dict, out_pair: jnp.ndarray,
+               compute_dtype) -> jnp.ndarray:
+    """Head projection of the logical concat([fwd, flip(bwd)], -1)
+    without materializing it: y = fwd@w[:H] + flip(bwd)@w[H:] + b."""
+    H = out_pair.shape[-1]
+    w = params["w"]
+    y = (jnp.dot(out_pair[0].astype(compute_dtype),
+                 w[:H].astype(compute_dtype),
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(jnp.flip(out_pair[1], axis=0).astype(compute_dtype),
+                   w[H:].astype(compute_dtype),
+                   preferred_element_type=jnp.float32))
+    return y + params["b"]
+
+
+def birnn_pair_apply(stacked: dict, xproj: jnp.ndarray,
+                     lengths: jnp.ndarray, rnn_type: str,
+                     interpret: bool = False) -> jnp.ndarray:
+    """One fused BiRNN layer from precomputed input projections.
+
+    xproj: [2, T, B, G] f32/bf16 (x@wx, bias NOT added); returns
+    direction-major [2, T, B, H] bf16 (backward half in flipped time).
+    The Pallas sequence kernel carries the recurrence; masking windows
+    are fwd [0, len) / flipped-bwd [T-len, T)."""
+    from ..ops.lstm_pallas import gru_seq_pallas, lstm_seq_pallas
+    seq_fn = lstm_seq_pallas if rnn_type == "lstm" else gru_seq_pallas
+    T, B = xproj.shape[1], xproj.shape[2]
+    start = jnp.stack([jnp.zeros((B,), jnp.int32),
+                       (T - lengths).astype(jnp.int32)])[..., None]
+    end = jnp.stack([lengths.astype(jnp.int32),
+                     jnp.full((B,), T, jnp.int32)])[..., None]
+    # wh rides in bf16: it stays VMEM-resident in both kernels, and the
+    # f32 version together with the f32 dwh scratch overflows the 16MB
+    # VMEM budget (measured 17.1M). Grad precision for wh is bf16.
+    return seq_fn(xproj.astype(jnp.bfloat16), stacked["b"],
+                  stacked["wh"].astype(jnp.bfloat16),
+                  start, end, interpret)
+
+
 def _rnn_pallas_bi(stacked, x, x_rev, lengths, T, B, compute_dtype,
                    rnn_type, interpret=False):
     """Fused bidirectional RNN via the Pallas sequence kernels
@@ -172,24 +263,13 @@ def _rnn_pallas_bi(stacked, x, x_rev, lengths, T, B, compute_dtype,
     bias rides into the kernel (db accumulates in-kernel). Everything
     is direction-major [2, T, B, *] — exactly the batched dot_general's
     output layout, so no transpose materializes."""
-    from ..ops.lstm_pallas import gru_seq_pallas, lstm_seq_pallas
-    seq_fn = lstm_seq_pallas if rnn_type == "lstm" else gru_seq_pallas
     xd = jnp.stack([x, x_rev], axis=0).astype(compute_dtype)  # [2,T,B,F]
     xproj = jax.lax.dot_general(
         xd, stacked["wx"].astype(compute_dtype),
         dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # [2, T, B, G]
-    start = jnp.stack([jnp.zeros((B,), jnp.int32),
-                       (T - lengths).astype(jnp.int32)])[..., None]
-    end = jnp.stack([lengths.astype(jnp.int32),
-                     jnp.full((B,), T, jnp.int32)])[..., None]
-    # wh rides in bf16: it stays VMEM-resident in both kernels, and the
-    # f32 version together with the f32 dwh scratch overflows the 16MB
-    # VMEM budget (measured 17.1M). Grad precision for wh is bf16.
-    out = seq_fn(xproj.astype(jnp.bfloat16), stacked["b"],
-                 stacked["wh"].astype(jnp.bfloat16),
-                 start, end, interpret)
-    return out                                            # [2, T, B, H]
+    return birnn_pair_apply(stacked, xproj, lengths, rnn_type,
+                            interpret)                    # [2, T, B, H]
 
 
 def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -215,14 +295,7 @@ def birnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
        per-direction via a batched dot_general."""
     T, B, _ = x.shape
     x_rev = jnp.flip(x, axis=0)
-    stacked = {
-        "wx": jnp.concatenate([params["fwd"]["wx"][None],
-                               params["bwd"]["wx"][None]], 0),
-        "wh": jnp.concatenate([params["fwd"]["wh"][None],
-                               params["bwd"]["wh"][None]], 0),
-        "b": jnp.concatenate([params["fwd"]["b"][None],
-                              params["bwd"]["b"][None]], 0),
-    }
+    stacked = stack_bi_params(params)
     if use_pallas and rnn_type in ("lstm", "gru"):
         out4 = _rnn_pallas_bi(stacked, x, x_rev, lengths, T, B,
                               compute_dtype, rnn_type, interpret)

@@ -55,25 +55,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TIME_BLOCK = 8
-_VMEM_BUDGET = 12 << 20  # empirical: see _pick_tt
+_VMEM_BUDGET = 15 << 20  # vs the 16M scoped limit: see _pick_tt
 
 
 def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     """Largest time block whose pipeline buffers fit the scoped budget.
 
     The scoped-vmem "stack" allocation covers the double-buffered
-    streamed blocks (the resident wh/scratch live outside it): the
-    LSTM fwd streams G+2H+G and its BPTT streams 7H+G per timestep —
-    ~11H bf16 each way at G=4H. The budget is calibrated empirically
-    on v5e (16M scoped limit): B=64/H=512/TT=8 overflows at 20.5M,
-    B=128/TT=2 overflows by 24K (block padding beyond this linear
-    model), while B=32/TT=8 and B=64/TT=4 — both 11.5M by this
-    estimate — compile and run."""
-    # widest pipeline is the BPTT pass: gout H + saved gates 4H + two
-    # c/h views + dxproj G = G + 7H per timestep (11H for LSTM's G=4H)
+    streamed blocks PLUS the kernel-local f32 temporaries of one
+    direction's BPTT step (the resident wh/scratch live elsewhere):
+
+    - streamed, per timestep: gout H + saved gates 4H + two c/h views
+      + dxproj G = G + 7H bf16 each way, double-buffered;
+    - temporaries, per step: dgates/gts/gout f32 copies [B, G] x3 and
+      ~5 [B, H] intermediates = ~(3G + 5H) f32 per row.
+
+    Calibrated on v5e (16M scoped limit): B=128/H=512/TT=2 allocates
+    16.02M on hardware — streamed 11.5M + temps 4.46M by this model
+    (the old temps-free model predicted 11.5M and OOM'd by 24K);
+    B=64/TT=4 predicts 13.8M and runs; B=64/TT=8 overflows (measured
+    20.5M); B=32/TT=8 predicts 12.6M and runs."""
     per_t = nd * B * (G + 7 * H) * 2 * 2  # bf16 x double-buffered
+    temps = B * (3 * G + 5 * H) * 4       # f32 step intermediates
     tt = TIME_BLOCK
-    while tt > 1 and per_t * tt > _VMEM_BUDGET:
+    while tt > 1 and per_t * tt + temps > _VMEM_BUDGET:
         tt //= 2
     return max(1, min(tt, T))
 

@@ -208,3 +208,46 @@ def test_conv_matmul_matches_conv():
             conv2d_matmul_apply(p, x, (st, sf), jnp.float32) ** 2))(params)
         np.testing.assert_allclose(np.asarray(gm["w"]), np.asarray(gw["w"]),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_encoder_pair_path_parity(monkeypatch):
+    """The no-concat pair-chained BiRNN branch of apply_encoder (the
+    Pallas train path) must match the concat/scan branch — values and
+    gradients — including multiple layers, the head projection, and
+    ragged lengths. Runs on CPU by forcing dispatch + interpret mode."""
+    import functools
+    from ctc_asr_tpu.models import encoder as enc_mod
+    from ctc_asr_tpu.models import rnn as rnn_mod
+    from ctc_asr_tpu.ops import dispatch
+
+    cfg = ModelConfig(frontend="conv", conv_channels=(4,),
+                      conv_kernels=((3, 3),), conv_strides=((2, 2),),
+                      rnn_layers=2, rnn_units=8, bidirectional=True,
+                      dropout=0.0, compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg, 10)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 10))
+    flens = jnp.asarray([12, 7])
+
+    def run(p):
+        logits, lens = apply_encoder(p, feats, flens, cfg)
+        return logits
+
+    want = np.asarray(run(params))
+    g_ref = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+
+    # force the pair branch with interpret-mode kernels
+    monkeypatch.setattr(dispatch, "resolve_use_pallas",
+                        lambda f: f is not False)
+    monkeypatch.setattr(
+        rnn_mod, "birnn_pair_apply",
+        functools.partial(rnn_mod.birnn_pair_apply.__wrapped__
+                          if hasattr(rnn_mod.birnn_pair_apply,
+                                     "__wrapped__")
+                          else rnn_mod.birnn_pair_apply, interpret=True))
+    got = np.asarray(run(params))
+    g_pair = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pair),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2)
