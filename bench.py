@@ -32,14 +32,15 @@ def build_cfg(tiny: bool):
         batch, seconds = 4, 2.0
     else:
         # The BASELINE.json:8 config family: conv frontend + 3x BiLSTM.
-        # B=32 after the batch sweep (BASELINE.md): per-step cost is
-        # recurrence-latency-bound, so larger batches amortize it
-        # (B=16: ~11.5k, B=32: ~14.7k, B=64: ~15.7k audio-s/s/chip);
-        # B=32 is the largest batch that's still a standard training
-        # size for this model family.
+        # B=128 after the batch sweep (BASELINE.md): per-step cost is
+        # recurrence-latency-bound at small B, so larger batches
+        # amortize it (B=16: ~11.5k, B=32: ~15.1k, B=64: ~15.0k,
+        # B=128: ~15.8k audio-s/s/chip once the fused-RNN VMEM model
+        # admits it — lstm_pallas._pick_tt). The JSON line reports the
+        # batch; --batch overrides for the sweep.
         model = ModelConfig(frontend="conv", rnn_layers=3, rnn_units=512,
                             bidirectional=True, dropout=0.0)
-        batch, seconds = 32, 8.0
+        batch, seconds = 128, 8.0
     cfg = Config(
         # Pallas kernels default-on (auto-fallback to pure JAX on CPU).
         features=FeatureConfig(feature_type="mel", n_mels=80,

@@ -141,6 +141,14 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
     from ..ops.dispatch import resolve_use_pallas
     use_pallas_rnn = resolve_use_pallas(cfg.use_pallas_rnn) \
         and cfg.rnn_type in ("lstm", "gru")
+    if use_pallas_rnn:
+        # beyond the fused kernels' scoped-VMEM envelope (e.g. B=256 at
+        # H=512) fall back to the lax.scan path instead of failing to
+        # compile; see lstm_pallas.fused_fits
+        from ..ops.lstm_pallas import fused_fits
+        gates = 4 if cfg.rnn_type == "lstm" else 3
+        use_pallas_rnn = fused_fits(2 if cfg.bidirectional else 1, B,
+                                    cfg.rnn_units, gates * cfg.rnn_units)
     x = jnp.swapaxes(x, 0, 1)                      # [T', B, D]
     if use_pallas_rnn and cfg.bidirectional and params["rnn"]:
         # No-concat BiRNN chaining (rnn.pair_xproj): every inter-layer

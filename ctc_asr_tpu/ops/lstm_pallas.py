@@ -83,6 +83,19 @@ def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     return max(1, min(tt, T))
 
 
+def fused_fits(nd: int, B: int, H: int, G: int) -> bool:
+    """True when the sequence kernels fit scoped VMEM even at TT=1.
+
+    Beyond this envelope (e.g. B=256/H=512: 20.6M measured vs the 16M
+    limit) callers must take the lax.scan path; throughput is flat past
+    B=128 anyway (B=128: 15.8k, B=192: 15.7k audio-s/s/chip), so batch-
+    blocking the kernel grid buys nothing on v5e — documented rather
+    than built."""
+    per_t = nd * B * (G + 7 * H) * 2 * 2
+    temps = B * (3 * G + 5 * H) * 4
+    return per_t + temps <= _VMEM_BUDGET
+
+
 def _pad_time(x, Tp):
     """Zero-pad [nd, T, ...] along axis 1 to Tp rows."""
     T = x.shape[1]

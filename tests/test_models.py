@@ -251,3 +251,14 @@ def test_encoder_pair_path_parity(monkeypatch):
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_fused_rnn_vmem_envelope():
+    """Batches beyond the fused kernels' scoped-VMEM envelope must take
+    the scan path instead of failing to mosaic-compile (B=256/H=512
+    measured 20.6M vs the 16M limit on v5e)."""
+    from ctc_asr_tpu.ops.lstm_pallas import fused_fits
+    assert fused_fits(2, 32, 512, 2048)
+    assert fused_fits(2, 128, 512, 2048)
+    assert not fused_fits(2, 256, 512, 2048)
+    assert fused_fits(2, 16, 800, 3200)
