@@ -46,6 +46,18 @@ def float_to_pcm16(data: np.ndarray) -> np.ndarray:
     return np.clip(data * 32767.0, -32768, 32767).astype(np.int16)
 
 
+WIRE_SCALE = 32768.0  # int16 wire format: x_f32 = x_i16 / WIRE_SCALE
+
+
+def float_to_wire16(data: np.ndarray) -> np.ndarray:
+    """f32 [-1,1] -> int16 wire samples, exact round trip for sources
+    that were int16 PCM (v/32768 * 32768 is exact in f32 for |v|<2^15,
+    unlike the 32767-scaled file encoding above). Halves host->device
+    bytes; the device side divides by WIRE_SCALE (features.py)."""
+    return np.clip(np.rint(data * WIRE_SCALE),
+                   -32768, 32767).astype(np.int16)
+
+
 def write_wav(path: str, data: np.ndarray, sr: int = 16000) -> None:
     scipy.io.wavfile.write(path, sr, float_to_pcm16(np.asarray(data)))
 

@@ -111,6 +111,10 @@ class DataConfig:
     # until oversubscription — on a 2-core host, 4 workers measured
     # 7.4-11.6k audio-s/s but 32 workers only 4.8k.
     num_workers: int = 0
+    # host->device sample transport: "int16" (default; half the bytes,
+    # exact for int16-PCM sources, device rescales — audio.
+    # float_to_wire16) or "float32"
+    wire_dtype: str = "int16"
 
 
 @dataclass(frozen=True)

@@ -107,7 +107,7 @@ class Batch:
     on device. ``valid`` counts real (non-repeat-padded) utterances —
     only relevant for eval's final partial batch."""
 
-    samples: np.ndarray        # [B, S] float32
+    samples: np.ndarray        # [B, S] int16 wire (or f32, cfg.wire_dtype)
     sample_lengths: np.ndarray  # [B] int32
     labels: np.ndarray         # [B, U] int32 (PAD_ID padded)
     label_lengths: np.ndarray  # [B] int32
@@ -240,6 +240,10 @@ class DataLoader:
         transcripts = [u.transcript for u in utts]
         paths = [u.path for u in utts]
         samples, slens = self._decode_batch(paths, bspec.max_samples)
+        if self.cfg.wire_dtype == "int16":
+            # halve host->device bytes; exact for int16-PCM sources
+            # (the device side rescales — features.extract_features)
+            samples = audio_mod.float_to_wire16(samples)
         labels, llens = text_mod.encode_batch(transcripts,
                                               max_len=bspec.max_label_len)
         audio_secs = float(slens[:valid].sum()) / self.spec.sample_rate

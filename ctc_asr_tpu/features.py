@@ -190,7 +190,14 @@ def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
     The single entry point used by the data pipeline and the transcribe
     CLI; dispatches to the Pallas kernel when ``cfg.use_pallas`` (and the
     kernel supports the geometry), else the pure-jnp path above.
+
+    Accepts int16 *wire* samples (the loader's default transport — half
+    the host->device bytes of f32, exact for int16-PCM sources) and
+    rescales on device; see audio.float_to_wire16.
     """
+    if samples.dtype == jnp.int16:
+        from .audio import WIRE_SCALE
+        samples = samples.astype(jnp.float32) * (1.0 / WIRE_SCALE)
     from .ops.dispatch import resolve_use_pallas
     if resolve_use_pallas(cfg.use_pallas):
         from .ops import stft_pallas

@@ -184,14 +184,32 @@ def train(cfg: Config, max_steps: int | None = None,
     from .utils.profiling import maybe_trace
 
     it = iter(loader)
+
+    def device_batches(src):
+        """Yield (batch, device_arrays) with the NEXT batch's
+        jax.device_put already in flight: the host->device transfer of
+        batch k+1 overlaps step k's compute (device_put is async), so
+        the step never waits on PCIe/tunnel upload except for the first
+        batch. Keeps exactly one extra batch resident."""
+        pending = None
+        for b in src:
+            dev = jax.device_put((b.samples, b.sample_lengths,
+                                  b.labels, b.label_lengths))
+            if pending is not None:
+                yield pending
+            pending = (b, dev)
+        if pending is not None:
+            yield pending
+
+    dev_it = device_batches(it)
     start_step = int(state["step"])
     t_last = time.perf_counter()
     try:
       with maybe_trace(tcfg.profile_dir):
         for _ in range(start_step, total):
-            batch = next(it)
-            state, m = step_fn(state, batch.samples, batch.sample_lengths,
-                               batch.labels, batch.label_lengths)
+            batch, (d_samples, d_slens, d_labels, d_llens) = next(dev_it)
+            state, m = step_fn(state, d_samples, d_slens,
+                               d_labels, d_llens)
             meter.update(batch.audio_seconds)
             step = int(state["step"])
             if heartbeat is not None:

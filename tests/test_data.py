@@ -80,7 +80,7 @@ def test_batch_contents(corpus):
         bs = loader.spec.buckets[b.bucket_id]
         assert b.samples.shape == (4, bs.max_samples)
         assert b.labels.shape == (4, bs.max_label_len)
-        assert b.samples.dtype == np.float32
+        assert b.samples.dtype == np.int16  # wire format (cfg.wire_dtype)
         assert (b.sample_lengths > 0).all()
         for i in range(b.valid):
             dec = text.decode_ids(b.labels[i, :b.label_lengths[i]])
@@ -150,3 +150,44 @@ def test_load_state_dict_rejects_seed_mismatch(corpus):
     loader = DataLoader(corpus, DATA_CFG, FEAT_CFG)
     with pytest.raises(ValueError, match="seed"):
         loader.load_state_dict({"epoch": 0, "position": 1, "seed": 999})
+
+
+def test_wire16_roundtrip_exact():
+    """int16 wire transport must be EXACT for int16-PCM sources:
+    v -> v/32768 (read_wav) -> float_to_wire16 -> /32768 == v/32768."""
+    from ctc_asr_tpu import audio as audio_mod
+    v = np.array([-32768, -12345, -1, 0, 1, 31999, 32767], np.int16)
+    f = v.astype(np.float32) / 32768.0
+    wire = audio_mod.float_to_wire16(f)
+    np.testing.assert_array_equal(wire, v)
+    back = wire.astype(np.float32) / audio_mod.WIRE_SCALE
+    np.testing.assert_array_equal(back, f)
+
+
+def test_loader_float32_wire_flag(corpus):
+    import dataclasses as dc
+    cfg = dc.replace(DATA_CFG, wire_dtype="float32")
+    loader = DataLoader(corpus, cfg, FEAT_CFG, drop_last=False)
+    b = next(iter(loader.iter_epoch(0)))
+    assert b.samples.dtype == np.float32
+
+
+def test_features_accept_wire16(corpus):
+    """extract_features on int16 wire samples must match the f32 path."""
+    import jax.numpy as jnp
+    from ctc_asr_tpu import audio as audio_mod
+    from ctc_asr_tpu import features as feat_mod
+    rng = np.random.default_rng(0)
+    f32 = (rng.standard_normal((2, 8000)) * 0.1).astype(np.float32)
+    f32 = np.clip(f32, -1, 1)
+    # quantize the reference input too: parity should be exact
+    f32 = audio_mod.float_to_wire16(f32).astype(np.float32) / 32768.0
+    wire = audio_mod.float_to_wire16(f32)
+    lens = np.array([8000, 5000], np.int32)
+    a, la = feat_mod.extract_features(jnp.asarray(f32), jnp.asarray(lens),
+                                      FEAT_CFG)
+    b, lb = feat_mod.extract_features(jnp.asarray(wire), jnp.asarray(lens),
+                                      FEAT_CFG)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
