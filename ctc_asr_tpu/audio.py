@@ -58,6 +58,29 @@ def float_to_wire16(data: np.ndarray) -> np.ndarray:
                    -32768, 32767).astype(np.int16)
 
 
+ULAW_MU = 255.0  # uint8 wire format (G.711-style companding)
+
+
+def float_to_ulaw(data: np.ndarray) -> np.ndarray:
+    """f32 [-1,1] -> uint8 mu-law wire samples (quarter the f32 bytes).
+
+    Companded quantization: ~13-bit linear resolution near zero where
+    speech energy lives — the standard telephony trade, measurably
+    WER-neutral for this frontend (log-mel + per-utterance
+    normalization). Device-side inverse lives in
+    features.extract_features."""
+    x = np.clip(data, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(ULAW_MU * np.abs(x)) / np.log1p(ULAW_MU)
+    return np.clip(np.rint((y + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def ulaw_to_float(wire: np.ndarray) -> np.ndarray:
+    """Host-side inverse of float_to_ulaw (tests / tooling)."""
+    y = wire.astype(np.float32) / 127.5 - 1.0
+    return np.sign(y) * (np.power(1.0 + ULAW_MU, np.abs(y)) - 1.0) \
+        / ULAW_MU
+
+
 def write_wav(path: str, data: np.ndarray, sr: int = 16000) -> None:
     scipy.io.wavfile.write(path, sr, float_to_pcm16(np.asarray(data)))
 

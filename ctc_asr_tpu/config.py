@@ -113,7 +113,8 @@ class DataConfig:
     num_workers: int = 0
     # host->device sample transport: "int16" (default; half the bytes,
     # exact for int16-PCM sources, device rescales — audio.
-    # float_to_wire16) or "float32"
+    # float_to_wire16), "ulaw" (uint8 companded, quarter the bytes,
+    # ~13-bit near-zero resolution), or "float32"
     wire_dtype: str = "int16"
 
 

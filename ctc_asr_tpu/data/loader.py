@@ -244,6 +244,10 @@ class DataLoader:
             # halve host->device bytes; exact for int16-PCM sources
             # (the device side rescales — features.extract_features)
             samples = audio_mod.float_to_wire16(samples)
+        elif self.cfg.wire_dtype == "ulaw":
+            # quarter the bytes: uint8 companded (G.711-style);
+            # device-side inverse in features.extract_features
+            samples = audio_mod.float_to_ulaw(samples)
         labels, llens = text_mod.encode_batch(transcripts,
                                               max_len=bspec.max_label_len)
         audio_secs = float(slens[:valid].sum()) / self.spec.sample_rate

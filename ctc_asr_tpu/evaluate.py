@@ -128,11 +128,12 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
     t0 = time.perf_counter()
     t_warm, audio_warm = t0, 0.0
     shown = 0
-    for bi, batch in enumerate(loader.iter_epoch(0)):
+    from .train import device_batches
+    for bi, (batch, dev) in enumerate(device_batches(loader.iter_epoch(0))):
         if max_batches is not None and bi >= max_batches:
             break
-        logits, logit_lens = eval_step(params, batch.samples,
-                                       batch.sample_lengths)
+        d_samples, d_slens = dev[0], dev[1]
+        logits, logit_lens = eval_step(params, d_samples, d_slens)
         if rescorer is not None:
             nb_ids, nb_lens, nb_scores = nbest_decode(logits, logit_lens)
             ids, lens = rescorer(nb_ids, nb_lens, nb_scores)

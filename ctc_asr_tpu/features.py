@@ -198,6 +198,11 @@ def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
     if samples.dtype == jnp.int16:
         from .audio import WIRE_SCALE
         samples = samples.astype(jnp.float32) * (1.0 / WIRE_SCALE)
+    elif samples.dtype == jnp.uint8:
+        from .audio import ULAW_MU
+        y = samples.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        samples = jnp.sign(y) * (
+            jnp.exp(jnp.abs(y) * np.log1p(ULAW_MU)) - 1.0) / ULAW_MU
     from .ops.dispatch import resolve_use_pallas
     if resolve_use_pallas(cfg.use_pallas):
         from .ops import stft_pallas

@@ -146,6 +146,24 @@ def make_eval_step(cfg: Config):
     return jax.jit(eval_fn)
 
 
+def device_batches(src):
+    """Yield (batch, device_arrays) with the NEXT batch's
+    jax.device_put already in flight: the host->device transfer of
+    batch k+1 overlaps step k's compute (device_put is async), so the
+    step never waits on PCIe/tunnel upload except for the first batch.
+    Keeps exactly one extra batch resident. Used by the train loop and
+    evaluate()."""
+    pending = None
+    for b in src:
+        dev = jax.device_put((b.samples, b.sample_lengths,
+                              b.labels, b.label_lengths))
+        if pending is not None:
+            yield pending
+        pending = (b, dev)
+    if pending is not None:
+        yield pending
+
+
 def train(cfg: Config, max_steps: int | None = None,
           loader: DataLoader | None = None,
           eval_fn=None, writer: MetricsWriter | None = None) -> dict:
@@ -184,23 +202,6 @@ def train(cfg: Config, max_steps: int | None = None,
     from .utils.profiling import maybe_trace
 
     it = iter(loader)
-
-    def device_batches(src):
-        """Yield (batch, device_arrays) with the NEXT batch's
-        jax.device_put already in flight: the host->device transfer of
-        batch k+1 overlaps step k's compute (device_put is async), so
-        the step never waits on PCIe/tunnel upload except for the first
-        batch. Keeps exactly one extra batch resident."""
-        pending = None
-        for b in src:
-            dev = jax.device_put((b.samples, b.sample_lengths,
-                                  b.labels, b.label_lengths))
-            if pending is not None:
-                yield pending
-            pending = (b, dev)
-        if pending is not None:
-            yield pending
-
     dev_it = device_batches(it)
     start_step = int(state["step"])
     t_last = time.perf_counter()

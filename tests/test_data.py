@@ -191,3 +191,37 @@ def test_features_accept_wire16(corpus):
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ulaw_wire_roundtrip_and_features(corpus):
+    """uint8 mu-law wire: round trip within companded quantization
+    error, and the on-device decode in extract_features matches the
+    host-side inverse exactly."""
+    import jax.numpy as jnp
+    from ctc_asr_tpu import audio as audio_mod
+    from ctc_asr_tpu import features as feat_mod
+    rng = np.random.default_rng(1)
+    x = np.clip(rng.standard_normal((2, 8000)) * 0.3, -1, 1) \
+        .astype(np.float32)
+    wire = audio_mod.float_to_ulaw(x)
+    back = audio_mod.ulaw_to_float(wire)
+    # companded quantization: fine near zero, <=2.3% of full scale at 1
+    err = np.abs(back - x)
+    assert err.max() <= 0.023
+    assert np.abs(back[np.abs(x) < 0.05] - x[np.abs(x) < 0.05]).max() \
+        <= 2e-3
+    lens = np.array([8000, 5000], np.int32)
+    a, _ = feat_mod.extract_features(jnp.asarray(back), jnp.asarray(lens),
+                                     FEAT_CFG)
+    b, _ = feat_mod.extract_features(jnp.asarray(wire), jnp.asarray(lens),
+                                     FEAT_CFG)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_loader_ulaw_wire_flag(corpus):
+    import dataclasses as dc
+    cfg = dc.replace(DATA_CFG, wire_dtype="ulaw")
+    loader = DataLoader(corpus, cfg, FEAT_CFG, drop_last=False)
+    b = next(iter(loader.iter_epoch(0)))
+    assert b.samples.dtype == np.uint8
