@@ -139,6 +139,11 @@ class TrainConfig:
     # jax.profiler trace dir ("" = off) and heartbeat period (0 = off).
     profile_dir: str = ""
     heartbeat_seconds: float = 0.0
+    # compile every length-bucket's step shape CONCURRENTLY at startup
+    # (XLA compiles release the GIL; measured ~3x faster than the lazy
+    # serial first-touch per bucket). Off = compile lazily as buckets
+    # first appear.
+    precompile: bool = True
     total_steps: int = 100000
     log_every: int = 50
     eval_every: int = 2500

@@ -210,7 +210,8 @@ def test_conv_matmul_matches_conv():
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_encoder_pair_path_parity(monkeypatch):
+@pytest.mark.parametrize("rnn_type", ["lstm", "gru"])
+def test_encoder_pair_path_parity(monkeypatch, rnn_type):
     """The no-concat pair-chained BiRNN branch of apply_encoder (the
     Pallas train path) must match the concat/scan branch — values and
     gradients — including multiple layers, the head projection, and
@@ -222,6 +223,7 @@ def test_encoder_pair_path_parity(monkeypatch):
 
     cfg = ModelConfig(frontend="conv", conv_channels=(4,),
                       conv_kernels=((3, 3),), conv_strides=((2, 2),),
+                      rnn_type=rnn_type,
                       rnn_layers=2, rnn_units=8, bidirectional=True,
                       dropout=0.0, compute_dtype="float32")
     params = init_params(jax.random.PRNGKey(0), cfg, 10)
