@@ -149,9 +149,14 @@ class DataLoader:
         self.shard = self.global_manifest.shard(shard_idx, num_shards)
         self.cfg = data_cfg
         self.drop_last = drop_last
+        if data_cfg.wire_dtype not in ("int16", "ulaw", "float32"):
+            raise ValueError(
+                f"unknown wire_dtype {data_cfg.wire_dtype!r} "
+                "(expected 'int16', 'ulaw' or 'float32')")
         self.epoch = 0
         self.position = 0  # next batch index within the current epoch plan
         self.consumed: tuple | None = None  # (epoch, pos) last yielded
+        self._iter_base: tuple | None = None  # cursor at iterator start
         self._plan_cache: tuple | None = None  # (epoch, plan)
         # num_workers == 0: auto-size to the host (see DataConfig);
         # 2x cores wins by overlapping file I/O with decode
@@ -261,11 +266,17 @@ class DataLoader:
     def state_dict(self) -> dict:
         """Cursor of the NEXT batch to train on. With prefetch active
         the internal position runs ahead of what the consumer has seen;
-        ``consumed`` (set by the prefetch iterator per yielded batch)
-        is the honest resume point."""
+        ``consumed`` (set per yielded batch by the prefetch iterator,
+        and re-pinned per *trained* batch by train.device_batches) is
+        the honest resume point. Before anything is consumed, the
+        cursor captured at iterator start is used — the producer may
+        already have advanced the internal position by prefetch+1."""
         if self.consumed is not None:
             ep, pos = self.consumed
             return {"epoch": ep, "position": pos + 1, "seed": self.cfg.seed}
+        if self._iter_base is not None:
+            ep, pos = self._iter_base
+            return {"epoch": ep, "position": pos, "seed": self.cfg.seed}
         return {"epoch": self.epoch, "position": self.position,
                 "seed": self.cfg.seed}
 
@@ -278,6 +289,9 @@ class DataLoader:
                 "batch plan (fix the config or start a fresh run)")
         self.epoch = int(state["epoch"])
         self.position = int(state["position"])
+        # stale pre-restore cursors must not shadow the restored state
+        self.consumed = None
+        self._iter_base = None
 
     def __iter__(self):
         """Endless batch stream (training). Epochs advance automatically;
@@ -306,8 +320,14 @@ class DataLoader:
 class _PrefetchIterator:
     def __init__(self, loader: DataLoader, depth: int):
         self.loader = loader
+        # capture the resume cursor BEFORE the producer advances the
+        # internal position by up to depth+1 (state_dict falls back to
+        # this until the first batch is consumed)
+        if loader._iter_base is None and loader.consumed is None:
+            loader._iter_base = (loader.epoch, loader.position)
         self.queue: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
+        self._dead: BaseException | None = None
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
@@ -339,10 +359,15 @@ class _PrefetchIterator:
         return self
 
     def __next__(self) -> Batch:
+        if self._dead is not None:
+            # the producer already died; fail fast on EVERY call instead
+            # of blocking on the dead producer's empty queue
+            raise RuntimeError("data loader producer failed") from self._dead
         item = self.queue.get()
         if isinstance(item, BaseException):
             # producer died (e.g. unreadable wav): re-raise HERE instead
             # of blocking forever on an empty queue
+            self._dead = item
             raise RuntimeError("data loader producer failed") from item
         # the loader's own cursor runs prefetch batches ahead; track
         # what was actually CONSUMED so state_dict() resumes exactly

@@ -129,10 +129,15 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
     t_warm, audio_warm = t0, 0.0
     shown = 0
     from .train import device_batches
-    for bi, (batch, dev) in enumerate(device_batches(loader.iter_epoch(0))):
-        if max_batches is not None and bi >= max_batches:
-            break
-        d_samples, d_slens = dev[0], dev[1]
+    src = loader.iter_epoch(0)
+    if max_batches is not None:
+        # slice BEFORE the device prefetch so nothing beyond the cap is
+        # decoded or uploaded
+        import itertools
+        src = itertools.islice(src, max_batches)
+    for bi, (batch, dev) in enumerate(
+            device_batches(src, with_labels=False)):
+        d_samples, d_slens = dev
         logits, logit_lens = eval_step(params, d_samples, d_slens)
         if rescorer is not None:
             nb_ids, nb_lens, nb_scores = nbest_decode(logits, logit_lens)

@@ -146,21 +146,32 @@ def make_eval_step(cfg: Config):
     return jax.jit(eval_fn)
 
 
-def device_batches(src):
+def device_batches(src, loader=None, with_labels: bool = True):
     """Yield (batch, device_arrays) with the NEXT batch's
     jax.device_put already in flight: the host->device transfer of
     batch k+1 overlaps step k's compute (device_put is async), so the
     step never waits on PCIe/tunnel upload except for the first batch.
     Keeps exactly one extra batch resident. Used by the train loop and
-    evaluate()."""
+    evaluate().
+
+    Pulling one ahead advances the prefetch iterator's consumed-cursor
+    past the batch actually being trained; passing ``loader`` re-pins
+    ``loader.consumed`` to each YIELDED batch so state_dict() stays an
+    exact resume point. ``with_labels=False`` skips uploading
+    labels/label_lengths (eval never uses them)."""
     pending = None
     for b in src:
-        dev = jax.device_put((b.samples, b.sample_lengths,
-                              b.labels, b.label_lengths))
+        arrs = (b.samples, b.sample_lengths) if not with_labels else \
+            (b.samples, b.sample_lengths, b.labels, b.label_lengths)
+        dev = jax.device_put(arrs)
         if pending is not None:
+            if loader is not None:
+                loader.consumed = (pending[0].epoch, pending[0].position)
             yield pending
         pending = (b, dev)
     if pending is not None:
+        if loader is not None:
+            loader.consumed = (pending[0].epoch, pending[0].position)
         yield pending
 
 
@@ -181,9 +192,11 @@ def precompile_bucket_shapes(step_fn, state, loader, cfg: Config) -> None:
     buckets = loader.spec.buckets
     if len(buckets) <= 1:
         return
+    # shapes come from the LOADER (a caller-supplied loader may differ
+    # from cfg.data — warming the wrong shapes doubles compile cost)
     sdtype = {"int16": jnp.int16, "ulaw": jnp.uint8}.get(
-        cfg.data.wire_dtype, jnp.float32)
-    B = cfg.data.batch_size
+        loader.cfg.wire_dtype, jnp.float32)
+    B = loader.spec.batch_size
     zeros_state = jax.jit(lambda s: jax.tree.map(jnp.zeros_like, s))
 
     def one(bspec):
@@ -197,7 +210,10 @@ def precompile_bucket_shapes(step_fn, state, loader, cfg: Config) -> None:
 
     t0 = time.perf_counter()
     try:
-        with cf.ThreadPoolExecutor(min(8, len(buckets))) as ex:
+        # pool of 4 bounds the transient HBM spike: each in-flight
+        # warm-up holds one zeros train-state (params + Adam moments)
+        # plus a compile workspace alongside the live state
+        with cf.ThreadPoolExecutor(min(4, len(buckets))) as ex:
             list(ex.map(one, buckets))
         print(f"[train] precompiled {len(buckets)} bucket shapes in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
@@ -246,7 +262,7 @@ def train(cfg: Config, max_steps: int | None = None,
     from .utils.profiling import maybe_trace
 
     it = iter(loader)
-    dev_it = device_batches(it)
+    dev_it = device_batches(it, loader=loader)
     start_step = int(state["step"])
     t_last = time.perf_counter()
     try:

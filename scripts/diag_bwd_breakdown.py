@@ -18,47 +18,7 @@ from ctc_asr_tpu import features as feat_mod
 from ctc_asr_tpu.models import apply_encoder, init_params
 from ctc_asr_tpu.ops.ctc_ref import ctc_loss
 
-N_CHAIN = 50
-RTT = None
-
-
-def _rtt():
-    x = jax.device_put(jnp.float32(1.0))
-    for _ in range(2):
-        float(x + 1)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(x + 1)
-    return (time.perf_counter() - t0) / 5
-
-
-def timed(name, params, body):
-    """body(params) -> (scalar, grads-pytree-or-None). Chains FULL grads."""
-    global RTT
-
-    @jax.jit
-    def run(p):
-        def step(carry, _):
-            loss, g = body(carry)
-            eps = loss * 1e-30
-            if g is not None:
-                gsum = sum(jnp.sum(leaf.astype(jnp.float32))
-                           for leaf in jax.tree_util.tree_leaves(g))
-                eps = eps + gsum * 1e-30
-            carry = jax.tree.map(
-                lambda a: a + eps.astype(a.dtype), carry)
-            return carry, None
-        p2, _ = jax.lax.scan(step, p, None, length=N_CHAIN)
-        return jax.tree_util.tree_leaves(p2)[0].ravel()[0]
-
-    float(run(params))
-    if RTT is None:
-        RTT = _rtt()
-    t0 = time.perf_counter()
-    float(run(params))
-    dt = (time.perf_counter() - t0 - RTT) / N_CHAIN
-    print(f"{name:40s} {dt*1000:9.3f} ms/iter", flush=True)
-    return dt
+from diag_common import timed  # noqa: E402  (shared protocol)
 
 
 def main():

@@ -18,50 +18,7 @@ import jax.numpy as jnp
 
 from ctc_asr_tpu.models import rnn as rnn_mod
 
-N_CHAIN = 50
-RTT = None
-PEAK_BF16 = 197e12  # v5e MXU
-
-
-def _rtt():
-    x = jax.device_put(jnp.float32(1.0))
-    for _ in range(2):
-        float(x + 1)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(x + 1)
-    return (time.perf_counter() - t0) / 5
-
-
-def timed(name, params, body, flops=None):
-    global RTT
-
-    @jax.jit
-    def run(p):
-        def step(carry, _):
-            loss, g = body(carry)
-            eps = loss * 1e-30
-            if g is not None:
-                eps = eps + sum(jnp.sum(l.astype(jnp.float32))
-                                for l in jax.tree_util.tree_leaves(g)) \
-                    * 1e-30
-            return jax.tree.map(lambda a: a + eps.astype(a.dtype),
-                                carry), None
-        p2, _ = jax.lax.scan(step, params, None, length=N_CHAIN)
-        return jax.tree_util.tree_leaves(p2)[0].ravel()[0]
-
-    float(run(params))
-    if RTT is None:
-        RTT = _rtt()
-    t0 = time.perf_counter()
-    float(run(params))
-    dt = (time.perf_counter() - t0 - RTT) / N_CHAIN
-    extra = ""
-    if flops:
-        extra = f"  ({flops/dt/1e12:6.1f} TF/s, " \
-                f"{100*flops/dt/PEAK_BF16:5.1f}% MXU peak)"
-    print(f"{name:34s} {dt*1000:9.3f} ms{extra}", flush=True)
-    return dt
+from diag_common import timed  # noqa: E402  (shared protocol)
 
 
 def main():

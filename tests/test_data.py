@@ -225,3 +225,68 @@ def test_loader_ulaw_wire_flag(corpus):
     loader = DataLoader(corpus, cfg, FEAT_CFG, drop_last=False)
     b = next(iter(loader.iter_epoch(0)))
     assert b.samples.dtype == np.uint8
+
+
+def test_state_dict_before_first_consume(corpus):
+    """A checkpoint taken after iter() but before the first next() must
+    record the cursor at iterator start, not the producer's prefetch-
+    advanced internal position."""
+    import time
+    cfg = DataConfig(batch_size=4, num_buckets=3, num_workers=2,
+                     prefetch=2, min_audio_seconds=0.1,
+                     max_audio_seconds=10.0)
+    loader = DataLoader(corpus, cfg, FEAT_CFG)
+    it = iter(loader)
+    time.sleep(0.3)  # let the producer run ahead
+    st = loader.state_dict()
+    it.close()
+    assert (st["epoch"], st["position"]) == (0, 0)
+
+
+def test_load_state_dict_resets_stale_cursor(corpus):
+    loader = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    it = iter(loader)
+    next(it)
+    it.close()
+    loader.load_state_dict({"epoch": 0, "position": 2,
+                            "seed": DATA_CFG.seed})
+    st = loader.state_dict()
+    assert (st["epoch"], st["position"]) == (0, 2)
+
+
+def test_producer_failure_raises_every_call(corpus, tmp_path):
+    """After the producer dies, EVERY subsequent next() must fail fast
+    (not just the first)."""
+    from ctc_asr_tpu.data.manifest import Manifest, Utterance
+    bad = Manifest([Utterance(str(tmp_path / "missing.wav"), 1.0,
+                              "ghost utterance")] * 4)
+    loader = DataLoader(bad, DATA_CFG, FEAT_CFG)
+    it = iter(loader)
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="producer failed"):
+            next(it)
+    it.close()
+
+
+def test_wire_dtype_validated(corpus):
+    import dataclasses as dc
+    with pytest.raises(ValueError, match="wire_dtype"):
+        DataLoader(corpus, dc.replace(DATA_CFG, wire_dtype="in16"),
+                   FEAT_CFG)
+
+
+def test_device_batches_repins_consumed(corpus):
+    """train.device_batches pulls one batch ahead; with loader= it must
+    re-pin loader.consumed to the batch actually yielded so
+    state_dict() stays an exact resume point."""
+    from ctc_asr_tpu.train import device_batches
+    loader = DataLoader(corpus, DATA_CFG, FEAT_CFG)
+    it = iter(loader)
+    dev_it = device_batches(it, loader=loader)
+    b0, _ = next(dev_it)
+    st = loader.state_dict()
+    assert (st["epoch"], st["position"]) == (b0.epoch, b0.position + 1)
+    b1, _ = next(dev_it)
+    st = loader.state_dict()
+    assert (st["epoch"], st["position"]) == (b1.epoch, b1.position + 1)
+    it.close()

@@ -77,6 +77,8 @@ def test_loader_uses_native(tmp_path):
     for b in batches:
         assert (b.sample_lengths > 0).all()
         # native decode must match the scipy path bit-for-bit here
+        # (batch samples are int16 wire — undo the wire scale)
         ref, _ = audio_mod.read_wav(b.paths[0], 16000)
         n = min(len(ref), b.samples.shape[1])
-        np.testing.assert_allclose(b.samples[0, :n], ref[:n], atol=1e-6)
+        got = b.samples[0, :n].astype(np.float32) / audio_mod.WIRE_SCALE
+        np.testing.assert_allclose(got, ref[:n], atol=1e-6)
