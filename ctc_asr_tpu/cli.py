@@ -157,6 +157,44 @@ def cmd_prepare_librispeech(argv):
     return 0
 
 
+def cmd_prepare_corpus(argv):
+    """Per-corpus dataset generation + merge — the reference's
+    generate_dataset.py entry point (SURVEY.md §3.4)."""
+    p = argparse.ArgumentParser(prog="prepare-corpus")
+    p.add_argument("corpus",
+                   choices=["common-voice", "tedlium", "timit", "tatoeba",
+                            "merge"])
+    p.add_argument("--root", help="extracted corpus root (not for merge)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--split", default=None,
+                   help="corpus split (tedlium: train/dev/test; timit: "
+                        "TRAIN/TEST; common-voice: a .tsv name)")
+    p.add_argument("--lang", default="eng", help="tatoeba language code")
+    p.add_argument("--manifests", nargs="*", default=[],
+                   help="input manifest CSVs (merge only)")
+    args = p.parse_args(argv)
+    from .data import generate as gen
+    if args.corpus == "merge":
+        if not args.manifests:
+            p.error("merge requires --manifests")
+        print(gen.merge_manifests(args.manifests, args.out))
+        return 0
+    if not args.root:
+        p.error(f"{args.corpus} requires --root")
+    if args.corpus == "common-voice":
+        kw = {"split_tsv": args.split} if args.split else {}
+        print(gen.prepare_common_voice(args.root, args.out, **kw))
+    elif args.corpus == "tedlium":
+        kw = {"split": args.split} if args.split else {}
+        print(gen.prepare_tedlium(args.root, args.out, **kw))
+    elif args.corpus == "timit":
+        kw = {"split": args.split} if args.split else {}
+        print(gen.prepare_timit(args.root, args.out, **kw))
+    elif args.corpus == "tatoeba":
+        print(gen.prepare_tatoeba(args.root, args.out, lang=args.lang))
+    return 0
+
+
 def cmd_train_lm(argv):
     p = argparse.ArgumentParser(prog="train-lm")
     p.add_argument("--manifest", required=True, nargs="+")
@@ -208,6 +246,7 @@ COMMANDS = {
     "transcribe": cmd_transcribe,
     "prepare-synth": cmd_prepare_synth,
     "prepare-librispeech": cmd_prepare_librispeech,
+    "prepare-corpus": cmd_prepare_corpus,
     "train-lm": cmd_train_lm,
     "compute-stats": cmd_compute_stats,
 }

@@ -78,3 +78,44 @@ def test_cli_help_and_unknown():
     p = subprocess.run([sys.executable, "-m", "ctc_asr_tpu.cli", "bogus"],
                        capture_output=True, text=True, cwd=REPO, env=env)
     assert p.returncode == 2
+
+
+def test_cli_prepare_corpus_merge(tmp_path):
+    """prepare-corpus merge: combine two manifests through the CLI."""
+    from ctc_asr_tpu.cli import main as cli_main
+    from ctc_asr_tpu.data import read_manifest
+    from ctc_asr_tpu.data.synth import generate_corpus
+    m1 = generate_corpus(str(tmp_path / "a"), num_utterances=4, seed=0)
+    m2 = generate_corpus(str(tmp_path / "b"), num_utterances=3, seed=1)
+    out = str(tmp_path / "merged.csv")
+    assert cli_main(["prepare-corpus", "merge", "--out", out,
+                     "--manifests", m1, m2]) == 0
+    man = read_manifest(out)
+    assert len(man) == 7
+    # merged manifest is duration-sorted (_finalize contract)
+    durs = [u.duration for u in man.utterances]
+    assert durs == sorted(durs)
+
+
+def test_cli_prepare_corpus_tedlium(tmp_path):
+    """prepare-corpus tedlium end-to-end through the CLI (pre-converted
+    talk wav, as in tests/test_generate.py)."""
+    from ctc_asr_tpu.cli import main as cli_main
+    from ctc_asr_tpu.data import read_manifest
+    import numpy as np
+    from ctc_asr_tpu import audio as audio_mod
+    root = tmp_path / "TEDLIUM"
+    out = tmp_path / "out"
+    (root / "train" / "stm").mkdir(parents=True)
+    (root / "train" / "sph").mkdir(parents=True)
+    (out / "train" / "wav").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    audio_mod.write_wav(str(out / "train" / "wav" / "TalkA.wav"),
+                        (rng.standard_normal(3 * 16000) * 0.1)
+                        .astype(np.float32), 16000)
+    (root / "train" / "stm" / "TalkA.stm").write_text(
+        "TalkA 1 spk 0.50 1.20 <o> hello world\n")
+    assert cli_main(["prepare-corpus", "tedlium", "--root", str(root),
+                     "--out", str(out)]) == 0
+    man = read_manifest(str(out / "tedlium_train.csv"))
+    assert len(man) == 1 and man[0].transcript == "hello world"
