@@ -125,3 +125,15 @@ def test_train_loop_with_resume(tiny_setup, tmp_path_factory):
     # resume: raising total_steps continues from 6 (checkpoint at 6)
     state2 = train(cfg2, max_steps=8)
     assert int(state2["step"]) == 8
+
+
+def test_evaluate_max_batches_caps_work(tiny_setup):
+    """max_batches must bound exactly how many batches are decoded
+    (the device prefetch slices BEFORE pulling ahead)."""
+    cfg, manifest_path = tiny_setup
+    state = init_train_state(cfg)
+    loader = DataLoader(read_manifest(manifest_path), cfg.data,
+                        cfg.features, drop_last=False)
+    out = evaluate(cfg, state["params"], loader=loader, max_batches=2,
+                   log_samples=0)
+    assert out["utterances"] == 2 * cfg.data.batch_size
