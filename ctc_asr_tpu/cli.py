@@ -11,6 +11,7 @@ one CLI:
     python -m ctc_asr_tpu.cli prepare-synth --out DIR [--n 64]
     python -m ctc_asr_tpu.cli prepare-librispeech --root DIR --out DIR
     python -m ctc_asr_tpu.cli train-lm --manifest ... --out lm.npz
+    python -m ctc_asr_tpu.cli prepare-features --manifest ... --out DIR
 
 Config: ``--preset`` picks a judge-ladder preset (config.py), ``--config
 file.json`` loads a full config, and any ``--section.key=value`` args
@@ -240,6 +241,24 @@ def cmd_compute_stats(argv):
     return 0
 
 
+def cmd_prepare_features(argv):
+    """Precompute the feature cache for a manifest (data/feature_cache.py);
+    train/evaluate consume it via --data.feature_cache=DIR."""
+    overrides, rest = _split_args(argv)
+    p = argparse.ArgumentParser(prog="prepare-features")
+    _common(p)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(rest)
+    cfg = _load_cfg(args, overrides)
+    from .data.feature_cache import build_feature_cache
+    from .data.manifest import read_manifest
+    build_feature_cache(read_manifest(args.manifest), cfg.data,
+                        cfg.features, args.out)
+    print(args.out)
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "evaluate": cmd_evaluate,
@@ -249,6 +268,7 @@ COMMANDS = {
     "prepare-corpus": cmd_prepare_corpus,
     "train-lm": cmd_train_lm,
     "compute-stats": cmd_compute_stats,
+    "prepare-features": cmd_prepare_features,
 }
 
 

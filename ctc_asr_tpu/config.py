@@ -88,6 +88,11 @@ class ModelConfig:
     # fused Pallas LSTM sequence kernel (auto-falls back to the XLA
     # scan on CPU; only applies to rnn_type == "lstm")
     use_pallas_rnn: bool = True
+    # rematerialize each RNN layer in the backward pass (jax.checkpoint):
+    # trades ~1/3 extra forward FLOPs for O(layers) less activation HBM,
+    # unlocking batch/model sizes past the single-chip HBM ceiling
+    # (B>=256 at T'=400 OOMs without it — BASELINE.md batch sweep)
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -116,6 +121,12 @@ class DataConfig:
     # float_to_wire16), "ulaw" (uint8 companded, quarter the bytes,
     # ~13-bit near-zero resolution), or "float32"
     wire_dtype: str = "int16"
+    # precomputed-feature cache dir built by the prepare-features CLI
+    # ("" = off). When set, the loader ships [B, T, F] float16 features
+    # instead of raw samples: no wav decode or STFT at train time, and
+    # ~half the wire bytes again (SURVEY.md §7 "input pipeline at pod
+    # scale" — data/feature_cache.py).
+    feature_cache: str = ""
 
 
 @dataclass(frozen=True)

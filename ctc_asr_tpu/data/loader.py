@@ -148,11 +148,16 @@ class DataLoader:
             self.global_manifest, data_cfg, feat_cfg)
         self.shard = self.global_manifest.shard(shard_idx, num_shards)
         self.cfg = data_cfg
+        self.feat_cfg = feat_cfg
         self.drop_last = drop_last
         if data_cfg.wire_dtype not in ("int16", "ulaw", "float32"):
             raise ValueError(
                 f"unknown wire_dtype {data_cfg.wire_dtype!r} "
                 "(expected 'int16', 'ulaw' or 'float32')")
+        self.cache = None
+        if data_cfg.feature_cache:
+            from .feature_cache import FeatureCache
+            self.cache = FeatureCache(data_cfg.feature_cache, feat_cfg)
         self.epoch = 0
         self.position = 0  # next batch index within the current epoch plan
         self.consumed: tuple | None = None  # (epoch, pos) last yielded
@@ -238,12 +243,32 @@ class DataLoader:
                 slens[i] = n
         return samples, slens
 
+    def bucket_frames(self, bucket_id: int) -> int:
+        """Static feature-frame width for a bucket (cache mode)."""
+        from .. import features as feat_mod
+        return max(1, feat_mod.num_frames(
+            self.spec.buckets[bucket_id].max_samples, self.feat_cfg))
+
     def materialize(self, bucket_id: int, idxs, valid: int) -> Batch:
         bspec = self.spec.buckets[bucket_id]
         B = len(idxs)
         utts = [self.shard[i] for i in idxs]
         transcripts = [u.transcript for u in utts]
         paths = [u.path for u in utts]
+        if self.cache is not None:
+            # precomputed-feature mode: samples carries [B, T, F] float16
+            # features, sample_lengths carries frame counts (the jitted
+            # step's extract_features passes 3-D inputs through).
+            feats, flens = self.cache.read_batch(
+                paths, self.bucket_frames(bucket_id))
+            labels, llens = text_mod.encode_batch(
+                transcripts, max_len=bspec.max_label_len)
+            audio_secs = float(sum(u.duration for u in utts[:valid]))
+            return Batch(samples=feats, sample_lengths=flens,
+                         labels=labels, label_lengths=llens,
+                         bucket_id=bucket_id, valid=valid,
+                         audio_seconds=audio_secs, transcripts=transcripts,
+                         paths=paths)
         samples, slens = self._decode_batch(paths, bspec.max_samples)
         if self.cfg.wire_dtype == "int16":
             # halve host->device bytes; exact for int16-PCM sources

@@ -194,7 +194,15 @@ def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
     Accepts int16 *wire* samples (the loader's default transport — half
     the host->device bytes of f32, exact for int16-PCM sources) and
     rescales on device; see audio.float_to_wire16.
+
+    A 3-D input is a precomputed-feature batch from the feature cache
+    (data/feature_cache.py): [B, T, F] float16 post-normalization
+    features with ``sample_lengths`` already holding frame counts —
+    passed through (cast to f32) with no DSP or re-normalization.
     """
+    if samples.ndim == 3:
+        return (samples.astype(jnp.float32),
+                sample_lengths.astype(jnp.int32))
     if samples.dtype == jnp.int16:
         from .audio import WIRE_SCALE
         samples = samples.astype(jnp.float32) * (1.0 / WIRE_SCALE)

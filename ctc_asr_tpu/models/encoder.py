@@ -159,29 +159,43 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
         pair = None
         for layer in params["rnn"]:
             stacked = rnn_mod.stack_bi_params(layer)
-            if pair is None:
-                xd = rnn_mod.stack_dirs(x).astype(cdt)
-                xproj = jax.lax.dot_general(
-                    xd, stacked["wx"].astype(cdt),
-                    dimension_numbers=(((3,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-            else:
-                xproj = rnn_mod.pair_xproj(pair, stacked["wx"], cdt)
-            pair = rnn_mod.birnn_pair_apply(stacked, xproj, out_lens,
-                                            cfg.rnn_type)
-            if train:
-                pair = dropout(next(rngs), pair, cfg.dropout, train)
+            first = pair is None
+
+            def body(stacked, inp, rng_key, first=first):
+                if first:
+                    xd = rnn_mod.stack_dirs(inp).astype(cdt)
+                    xproj = jax.lax.dot_general(
+                        xd, stacked["wx"].astype(cdt),
+                        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                else:
+                    xproj = rnn_mod.pair_xproj(inp, stacked["wx"], cdt)
+                pr = rnn_mod.birnn_pair_apply(stacked, xproj, out_lens,
+                                              cfg.rnn_type)
+                if train:
+                    pr = dropout(rng_key, pr, cfg.dropout, train)
+                return pr
+
+            fn = jax.checkpoint(body) if cfg.remat else body
+            pair = fn(stacked, x if first else pair, next(rngs))
         logits = rnn_mod.pair_dense(params["head"], pair, cdt)
     else:
         for layer in params["rnn"]:
-            if cfg.bidirectional:
-                x = rnn_mod.birnn_apply(layer, x, out_lens, cfg.rnn_type,
-                                        cdt, use_pallas=use_pallas_rnn)
-            else:
-                x = rnn_mod.rnn_apply(layer, x, out_lens, cfg.rnn_type,
-                                      cdt, use_pallas=use_pallas_rnn)
-            if train:
-                x = dropout(next(rngs), x, cfg.dropout, train)
+            def body(layer, inp, rng_key):
+                if cfg.bidirectional:
+                    y = rnn_mod.birnn_apply(layer, inp, out_lens,
+                                            cfg.rnn_type, cdt,
+                                            use_pallas=use_pallas_rnn)
+                else:
+                    y = rnn_mod.rnn_apply(layer, inp, out_lens,
+                                          cfg.rnn_type, cdt,
+                                          use_pallas=use_pallas_rnn)
+                if train:
+                    y = dropout(rng_key, y, cfg.dropout, train)
+                return y
+
+            fn = jax.checkpoint(body) if cfg.remat else body
+            x = fn(layer, x, next(rngs))
         logits = dense_apply(params["head"], x, cdt)   # [T', B, C] f32
     logits = jnp.swapaxes(logits, 0, 1)            # [B, T', C]
     return logits, out_lens

@@ -199,9 +199,14 @@ def precompile_bucket_shapes(step_fn, state, loader, cfg: Config) -> None:
     B = loader.spec.batch_size
     zeros_state = jax.jit(lambda s: jax.tree.map(jnp.zeros_like, s))
 
-    def one(bspec):
+    def one(bucket_id):
+        bspec = buckets[bucket_id]
         st = zeros_state(state)
-        samples = jnp.zeros((B, bspec.max_samples), sdtype)
+        if loader.cache is not None:
+            samples = jnp.zeros((B, loader.bucket_frames(bucket_id),
+                                 loader.cache.dim), jnp.float16)
+        else:
+            samples = jnp.zeros((B, bspec.max_samples), sdtype)
         slens = jnp.ones((B,), jnp.int32)
         labels = jnp.zeros((B, bspec.max_label_len), jnp.int32)
         llens = jnp.ones((B,), jnp.int32)
@@ -214,7 +219,7 @@ def precompile_bucket_shapes(step_fn, state, loader, cfg: Config) -> None:
         # warm-up holds one zeros train-state (params + Adam moments)
         # plus a compile workspace alongside the live state
         with cf.ThreadPoolExecutor(min(4, len(buckets))) as ex:
-            list(ex.map(one, buckets))
+            list(ex.map(one, range(len(buckets))))
         print(f"[train] precompiled {len(buckets)} bucket shapes in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
     except Exception as e:  # pragma: no cover - defensive

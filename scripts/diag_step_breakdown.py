@@ -62,7 +62,8 @@ def timed_chain(name, params, body):
 
 
 def main():
-    B, sec = 16, 8.0
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sec = float(sys.argv[2]) if len(sys.argv) > 2 else 8.0
     rng = np.random.default_rng(0)
     S = int(sec * 16000)
     U = 96
@@ -114,7 +115,13 @@ def main():
                 return ctc_loss(logits, logit_lens, labels, llens,
                                 use_pallas=use_pallas)
             l, g = jax.value_and_grad(loss_fn)(p)
-            return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+            # consume EVERY grad leaf: reading only one let XLA
+            # dead-code-eliminate the dw matmuls of the other layers
+            # (measured 43.7 vs 62.8 ms at B=128 — diag_step_gap.py),
+            # which mis-attributed ~19 ms to "step glue"
+            gsq = sum(jnp.sum(jnp.square(x))
+                      for x in jax.tree_util.tree_leaves(g))
+            return l + gsq * 1e-20
         return fwd_bwd
 
     timed_chain("full fwd+bwd (pallas ctc)", params, mk_fwd_bwd(True))

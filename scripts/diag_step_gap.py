@@ -50,7 +50,8 @@ def timed_state_chain(name, state, body):
 
 
 def main():
-    B, sec, U = 16, 8.0, 96
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sec, U = 8.0, 96
     rng = np.random.default_rng(0)
     S = int(sec * 16000)
     fcfg = FeatureConfig(use_pallas=True)

@@ -264,3 +264,38 @@ def test_fused_rnn_vmem_envelope():
     assert fused_fits(2, 128, 512, 2048)
     assert not fused_fits(2, 256, 512, 2048)
     assert fused_fits(2, 16, 800, 3200)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_remat_matches_no_remat(bidirectional):
+    """model.remat wraps each RNN layer in jax.checkpoint; the forward
+    values are identical and the gradients match (recomputation changes
+    scheduling, not math)."""
+    import dataclasses
+    cfg = ModelConfig(frontend="conv", conv_channels=(4, 4),
+                      conv_kernels=((5, 5), (3, 3)),
+                      conv_strides=((2, 2), (1, 2)),
+                      rnn_layers=2, rnn_units=8,
+                      bidirectional=bidirectional,
+                      dropout=0.1, compute_dtype="float32")
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, 10)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 10))
+    flens = jnp.asarray([16, 9])
+    drng = jax.random.PRNGKey(7)
+
+    def loss(p, c, train):
+        logits, _ = apply_encoder(p, feats, flens, c, train=train,
+                                  dropout_rng=drng if train else None)
+        return jnp.sum(logits ** 2)
+
+    for train in (False, True):
+        np.testing.assert_allclose(
+            np.asarray(loss(params, cfg, train)),
+            np.asarray(loss(params, cfg_r, train)), rtol=1e-6)
+        g0 = jax.grad(loss)(params, cfg, train)
+        g1 = jax.grad(loss)(params, cfg_r, train)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
