@@ -76,7 +76,7 @@ class ModelConfig:
     # conv-frontend kernel; parity-tested either way.
     use_pallas_conv: bool = False
     # recurrent stack
-    rnn_type: str = "lstm"  # "lstm" | "gru"
+    rnn_type: str = "lstm"  # "lstm" | "gru" | "rnn" (plain tanh cell)
     rnn_layers: int = 2
     rnn_units: int = 512
     bidirectional: bool = False

@@ -75,7 +75,8 @@ def init_params(rng, cfg: ModelConfig, feat_dim: int) -> dict:
     else:
         raise ValueError(f"unknown frontend {cfg.frontend!r}")
 
-    init_fn = {"lstm": rnn_mod.lstm_init, "gru": rnn_mod.gru_init}[cfg.rnn_type]
+    init_fn = {"lstm": rnn_mod.lstm_init, "gru": rnn_mod.gru_init,
+               "rnn": rnn_mod.vanilla_init}[cfg.rnn_type]
     stack = []
     d = rnn_in
     for _ in range(cfg.rnn_layers):

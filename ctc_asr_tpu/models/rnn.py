@@ -45,6 +45,15 @@ def gru_init(rng, in_dim: int, hidden: int) -> dict:
             "b": jnp.zeros((3 * hidden,), jnp.float32)}
 
 
+def vanilla_init(rng, in_dim: int, hidden: int) -> dict:
+    """Plain tanh RNN cell (the reference's BasicRNNCell option —
+    SURVEY.md §2a "RNN type" flag alongside LSTM/GRU)."""
+    k1, k2 = jax.random.split(rng)
+    return {"wx": glorot(k1, (in_dim, hidden)),
+            "wh": glorot(k2, (hidden, hidden)),
+            "b": jnp.zeros((hidden,), jnp.float32)}
+
+
 def reverse_sequence(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Reverse the valid prefix of each sequence; padding stays in place.
 
@@ -152,6 +161,30 @@ def gru_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
     return out
 
 
+def vanilla_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
+                  compute_dtype=jnp.bfloat16,
+                  unroll: int = 8) -> jnp.ndarray:
+    """x: [T, B, F] -> [T, B, H]; h' = tanh(x@wx + h@wh + b)."""
+    T, B, _ = x.shape
+    H = params["wh"].shape[0]
+    xproj = jnp.dot(x.astype(compute_dtype),
+                    params["wx"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + params["b"]
+    mask = _mask_tb(lengths, T)[..., None]
+    wh = params["wh"].astype(compute_dtype)
+
+    def step(h, inp):
+        xp, m = inp
+        h_new = jnp.tanh(xp + jnp.dot(h.astype(compute_dtype), wh,
+                                      preferred_element_type=jnp.float32))
+        h = m * h_new + (1.0 - m) * h
+        return h, h * m
+
+    init = jnp.zeros((B, H), jnp.float32)
+    _, out = jax.lax.scan(step, init, (xproj, mask), unroll=unroll)
+    return out
+
+
 def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
               rnn_type: str, compute_dtype=jnp.bfloat16,
               unroll: int = 8, use_pallas: bool = False) -> jnp.ndarray:
@@ -159,8 +192,12 @@ def rnn_apply(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
         return lstm_apply(x=x, params=params, lengths=lengths,
                           compute_dtype=compute_dtype, unroll=unroll,
                           use_pallas=use_pallas)
-    return gru_apply(params, x, lengths, compute_dtype, unroll,
-                     use_pallas=use_pallas)
+    if rnn_type == "gru":
+        return gru_apply(params, x, lengths, compute_dtype, unroll,
+                         use_pallas=use_pallas)
+    if rnn_type == "rnn":
+        return vanilla_apply(params, x, lengths, compute_dtype, unroll)
+    raise ValueError(f"unknown rnn_type {rnn_type!r}")
 
 
 def stack_bi_params(params: dict) -> dict:
@@ -371,6 +408,20 @@ def _stacked_rnn_apply(stacked: dict, x: jnp.ndarray, mask: jnp.ndarray,
             z = jax.nn.sigmoid(xz + hz)
             n = jnp.tanh(xn + r * hn)
             h_new = (1.0 - z) * n + z * h
+            h = m * h_new + (1.0 - m) * h
+            return h, h * m
+
+        init = jnp.zeros((2, B, H), jnp.float32)
+        _, out = jax.lax.scan(step, init, (xproj, mask), unroll=unroll)
+    elif rnn_type == "rnn":
+        def step(carry, inp):
+            h = carry
+            xp, m = inp
+            hproj = jax.lax.dot_general(
+                h.astype(compute_dtype), wh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            h_new = jnp.tanh(xp + hproj)
             h = m * h_new + (1.0 - m) * h
             return h, h * m
 

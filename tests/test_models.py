@@ -6,7 +6,8 @@ import pytest
 from ctc_asr_tpu.config import ModelConfig
 from ctc_asr_tpu.models import apply_encoder, init_params, output_lengths
 from ctc_asr_tpu.models.rnn import (gru_apply, gru_init, lstm_apply,
-                                    lstm_init, reverse_sequence)
+                                    lstm_init, reverse_sequence,
+                                    vanilla_apply, vanilla_init)
 
 
 def test_reverse_sequence():
@@ -25,7 +26,8 @@ def test_reverse_sequence():
 
 
 @pytest.mark.parametrize("init_fn,apply_fn", [(lstm_init, lstm_apply),
-                                              (gru_init, gru_apply)])
+                                              (gru_init, gru_apply),
+                                              (vanilla_init, vanilla_apply)])
 def test_rnn_shapes_and_masking(init_fn, apply_fn):
     rng = jax.random.PRNGKey(0)
     T, B, F, H = 7, 3, 5, 8
@@ -115,6 +117,37 @@ def test_bidirectional_doubles_and_uses_future():
     l2, _ = apply_encoder(p_uni, feats2, lens, cfg_uni)
     np.testing.assert_allclose(np.asarray(l1[0, 0]), np.asarray(l2[0, 0]),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_vanilla_rnn_encoder(bidirectional):
+    """rnn_type='rnn' (the reference's BasicRNNCell option): encoder
+    runs end-to-end and gradients are finite."""
+    cfg = ModelConfig(frontend="dense", dense_layers=1, dense_units=8,
+                      rnn_type="rnn", rnn_layers=2, rnn_units=8,
+                      bidirectional=bidirectional, compute_dtype="float32")
+    F = 5
+    params = init_params(jax.random.PRNGKey(0), cfg, F)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 10, F))
+    lens = jnp.asarray([10, 6])
+    logits, out_lens = apply_encoder(params, feats, lens, cfg)
+    assert logits.shape == (2, 10, 29)
+    np.testing.assert_array_equal(np.asarray(out_lens), [10, 6])
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        lg, _ = apply_encoder(p, feats, lens, cfg)
+        return jnp.sum(lg ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # the bidirectional stack must see the future, the uni stack must not
+    feats2 = feats.at[0, -1].set(5.0)
+    logits2, _ = apply_encoder(params, feats2, lens, cfg)
+    changed = not np.allclose(np.asarray(logits[0, 0]),
+                              np.asarray(logits2[0, 0]))
+    assert changed == bidirectional
 
 
 def test_dropout_train_vs_eval():
