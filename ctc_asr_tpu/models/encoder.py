@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from .layers import (clipped_relu, conv2d_apply, conv2d_init,
-                     conv2d_matmul_apply, dense_apply, dense_init, dropout)
+from .layers import (clipped_relu, conv2d_apply, conv2d_blocked_apply,
+                     conv2d_init, conv2d_matmul_apply, dense_apply,
+                     dense_init, dropout)
 from . import rnn as rnn_mod
 
 
@@ -119,7 +120,8 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
             from ..ops.conv_pallas import conv2d_pallas_apply
             conv_fn = conv2d_pallas_apply
         elif cfg.conv_as_matmul:
-            conv_fn = conv2d_matmul_apply
+            conv_fn = (conv2d_blocked_apply if cfg.conv_blocked_fwd
+                       else conv2d_matmul_apply)
         else:
             conv_fn = conv2d_apply
         x = feats[..., None]                       # [B, T, F, 1] NHWC

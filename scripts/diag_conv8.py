@@ -1,0 +1,73 @@
+"""Frequency-blocked banded conv, re-measured HONESTLY at large batch.
+
+diag_conv3 rejected the blocked formulation, but its harness predates
+the protocol fixes: N_CHAIN=10 with no RTT subtraction (+2.5 ms/iter of
+tunnel noise on every row) and a fwd+bwd body that consumed only ONE
+gradient leaf (XLA DCEs most of the backward — the diag_step_gap trap),
+at B=16 where the whole conv is ~2 ms. At B=128 the full-band conv2
+fwd+bwd is 15.2 ms at 93% of MXU peak (diag_conv_bwd), so the only
+remaining lever is the ~1.9x banded FLOP inflation — exactly what
+blocking removes (Gin_f/kf ~ 1.29x at GFo=4 with N = 4*32 = 128 lanes).
+
+This re-runs fullband vs blocked with diag_common.timed (N_CHAIN=50,
+RTT-subtracted, full gradient tree chained) at B=128.
+"""
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from ctc_asr_tpu.models.layers import conv2d_init, conv2d_matmul_apply
+from diag_common import timed
+from diag_conv3 import conv1d_blocked_apply
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    T, F = 801, 80
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.device_put(
+        jax.random.normal(k1, (B, T, F, 1), jnp.float32) * 0.1)
+    params = {"c1": conv2d_init(k2, 11, 41, 1, 32),
+              "c2": conv2d_init(k3, 11, 21, 32, 32)}
+
+    y_ref = conv2d_matmul_apply(params["c2"], jnp.clip(
+        conv2d_matmul_apply(params["c1"], x, (2, 2)), 0, 20), (1, 2))
+    y_blk = conv1d_blocked_apply(params["c2"], jnp.clip(
+        conv1d_blocked_apply(params["c1"], x, (2, 2)), 0, 20), (1, 2))
+    err = float(jnp.max(jnp.abs(y_ref - y_blk)))
+    print(f"parity max|diff| = {err:.5f} (max|ref| "
+          f"{float(jnp.max(jnp.abs(y_ref))):.2f})")
+
+    # true conv FLOPs (fwd): conv1 + conv2 at B,T
+    t1, f1 = -(-T // 2), F // 2
+    fl1 = 2 * B * t1 * f1 * 32 * 11 * 41 * 1
+    fl2 = 2 * B * t1 * (f1 // 2) * 32 * 11 * 21 * 32
+    true_fwd = fl1 + fl2
+
+    from ctc_asr_tpu.models.layers import conv2d_blocked_apply
+    for name, fn in [("fullband", conv2d_matmul_apply),
+                     ("blocked", conv1d_blocked_apply),
+                     ("hybrid-vjp", conv2d_blocked_apply)]:
+        def fwd(p, fn=fn):
+            y1 = jnp.clip(fn(p["c1"], x, (2, 2)), 0, 20)
+            y2 = fn(p["c2"], y1, (1, 2))
+            return jnp.sum(y2.astype(jnp.float32)) * 1e-6, None
+
+        def fwdbwd(p, fn=fn):
+            def loss(pp):
+                y1 = jnp.clip(fn(pp["c1"], x, (2, 2)), 0, 20)
+                y2 = fn(pp["c2"], y1, (1, 2))
+                return jnp.sum(jnp.square(y2.astype(jnp.float32))) * 1e-6
+            return jax.value_and_grad(loss)(p)
+
+        timed(f"{name} fwd", params, fwd, flops=true_fwd)
+        timed(f"{name} fwd+bwd", params, fwdbwd, flops=3 * true_fwd)
+
+
+if __name__ == "__main__":
+    main()

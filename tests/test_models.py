@@ -243,6 +243,46 @@ def test_conv_matmul_matches_conv():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_conv_blocked_matches_conv():
+    """Blocked-band hybrid conv == lax conv (values AND gradients: the
+    forward is the frequency-blocked formulation, the custom VJP is the
+    fullband gradient — both must match plain conv2d_apply). Includes
+    both cases that tile onto 128 lanes and the no-tiling fallback, and
+    grads wrt the INPUT (the custom VJP's dx path, exercised by conv2
+    of a stacked frontend)."""
+    from ctc_asr_tpu.models.layers import (_pick_gfo, _same_pad,
+                                           conv2d_apply,
+                                           conv2d_blocked_apply,
+                                           conv2d_init)
+    rng = jax.random.PRNGKey(0)
+    for (kt, kf, cin, cout, st, sf, T, F) in [
+            (11, 21, 2, 32, 2, 2, 30, 40),   # gfo=4 -> 128 lanes
+            (3, 5, 4, 16, 1, 2, 10, 32),     # gfo=8 -> 128 lanes
+            (5, 7, 1, 4, 2, 2, 21, 16)]:     # no tiling -> fallback
+        f_out, _, _ = _same_pad(F, kf, sf)
+        params = conv2d_init(rng, kt, kf, cin, cout)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, T, F, cin))
+        want = conv2d_apply(params, x, (st, sf), jnp.float32)
+        got = conv2d_blocked_apply(params, x, (st, sf), jnp.float32)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+        def loss(fn):
+            return lambda p, xx: jnp.sum(fn(p, xx, (st, sf),
+                                            jnp.float32) ** 2)
+
+        gw, gx = jax.grad(loss(conv2d_apply), argnums=(0, 1))(params, x)
+        bw, bx = jax.grad(loss(conv2d_blocked_apply),
+                          argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(bw["w"]), np.asarray(gw["w"]),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(bw["b"]), np.asarray(gw["b"]),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(bx), np.asarray(gx),
+                                   rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("rnn_type", ["lstm", "gru"])
 def test_encoder_pair_path_parity(monkeypatch, rnn_type):
     """The no-concat pair-chained BiRNN branch of apply_encoder (the
