@@ -23,6 +23,8 @@ from diag_common import timed  # noqa: E402  (shared protocol)
 
 def main():
     B, T, H, Fin = 32, 400, 512, 1024   # layer-2 shape: input 2H
+    if len(sys.argv) > 1:
+        B = int(sys.argv[1])
     G = 4 * H
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
@@ -58,15 +60,20 @@ def main():
         dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16))(xd))
 
+    # NB: xproj/xd ride in the params dict so they are jit ARGUMENTS —
+    # closed-over device arrays bake into the HLO as constants, and at
+    # B=128 the ~400 MB payload overflows the axon remote-compile body
+    # limit (HTTP 413).
     def kernel_fwd(p):
         start = jnp.zeros((2, B, 1), jnp.int32)
         end = jnp.full((2, B, 1), T, jnp.int32)
         from ctc_asr_tpu.ops.lstm_pallas import lstm_seq_pallas
-        out = lstm_seq_pallas(xproj_b, p["b"], p["wh"].astype(jnp.bfloat16),
+        out = lstm_seq_pallas(p["xp"], p["b"], p["wh"].astype(jnp.bfloat16),
                               start, end, False)
         return jnp.sum(out.astype(jnp.float32)) * 1e-6, None
 
-    timed("lstm kernel fwd only", {"b": stacked["b"], "wh": stacked["wh"]},
+    timed("lstm kernel fwd only",
+          {"b": stacked["b"], "wh": stacked["wh"], "xp": xproj_b},
           kernel_fwd, flops=f_rec)
 
     def kernel_fwdbwd(p):
@@ -75,7 +82,7 @@ def main():
         from ctc_asr_tpu.ops.lstm_pallas import lstm_seq_pallas
 
         def loss(pp):
-            out = lstm_seq_pallas(xproj_b, pp["b"],
+            out = lstm_seq_pallas(pp["xp"], pp["b"],
                                   pp["wh"].astype(jnp.bfloat16),
                                   start, end, False)
             return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
@@ -83,26 +90,28 @@ def main():
         return l, g
 
     timed("lstm kernel fwd+bwd (w/ dwh)",
-          {"b": stacked["b"], "wh": stacked["wh"]},
+          {"b": stacked["b"], "wh": stacked["wh"], "xp": xproj_b},
           kernel_fwdbwd, flops=f_rec * 2 + f_dwh)
 
     def layer_fwd(p):
         out = rnn_mod.birnn_pair_apply(
             {"wx": p["wx"], "wh": p["wh"], "b": p["b"]},
             jax.lax.dot_general(
-                xd, p["wx"].astype(jnp.bfloat16),
+                p["xd"], p["wx"].astype(jnp.bfloat16),
                 dimension_numbers=(((3,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32),
             lengths, "lstm")
         return jnp.sum(out.astype(jnp.float32)) * 1e-6, None
 
-    timed("full layer fwd", stacked, layer_fwd, flops=f_xproj + f_rec)
+    timed("full layer fwd", {**stacked, "xd": xd}, layer_fwd,
+          flops=f_xproj + f_rec)
 
     def layer_fwdbwd(p):
         def loss(pp):
             out = rnn_mod.birnn_pair_apply(
-                pp, jax.lax.dot_general(
-                    xd.astype(jnp.bfloat16),
+                {"wx": pp["wx"], "wh": pp["wh"], "b": pp["b"]},
+                jax.lax.dot_general(
+                    pp["xd"].astype(jnp.bfloat16),
                     pp["wx"].astype(jnp.bfloat16),
                     dimension_numbers=(((3,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32),
@@ -110,7 +119,7 @@ def main():
             return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
         return jax.value_and_grad(loss)(p)
 
-    timed("full layer fwd+bwd", stacked, layer_fwdbwd,
+    timed("full layer fwd+bwd", {**stacked, "xd": xd}, layer_fwdbwd,
           flops=2 * f_xproj + 2 * f_rec + f_dwh + f_dwx)
 
 
