@@ -188,6 +188,19 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
     cos_segs, msin_segs = _segment_dft(W, hop, cfg.n_fft)
     fb = feat_mod.mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate,
                                  cfg.fmin, cfg.fmax)
+    # Bin truncation: FFT bins above the top mel filter's edge (fmax <
+    # Nyquist) have all-zero filterbank rows, so the DFT can stop at
+    # the last used bin, rounded up to a full 128-lane tile — EXACT
+    # (the kept partial sums are unchanged) and it removes the lane
+    # padding of the bins axis (257 -> 384 padded vs 256 exact for the
+    # 16 kHz/512-FFT/7.6 kHz default: one third of the DFT matmul).
+    nz = np.nonzero((fb != 0).any(axis=1))[0]
+    used = int(nz[-1]) + 1 if nz.size else fb.shape[0]
+    n_bins_used = min(fb.shape[0], _round_up(used, 128))
+    if n_bins_used < fb.shape[0]:
+        cos_segs = np.ascontiguousarray(cos_segs[:, :, :n_bins_used])
+        msin_segs = np.ascontiguousarray(msin_segs[:, :, :n_bins_used])
+        fb = np.ascontiguousarray(fb[:n_bins_used])
     dct = feat_mod.dct_matrix(cfg.n_mels, cfg.n_mfcc) if use_dct else \
         np.zeros((cfg.n_mels, 1), np.float32)
 

@@ -31,6 +31,18 @@ def test_parity_with_jnp(feature_type):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_parity_fmax_nyquist_no_truncation():
+    """fmax = Nyquist keeps every mel row nonzero near the top, so the
+    bin-truncation fast path must fall back to the full DFT and still
+    match the reference."""
+    cfg = FeatureConfig(feature_type="mel", n_mels=40, fmax=8000.0,
+                        use_pallas=False)
+    x = _signal(2, 1.0, cfg.sample_rate)
+    want = np.asarray(feat_mod._jnp_features(x, cfg))
+    got = np.asarray(features_pallas(x, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_parity_non_tile_multiple_frames():
     """T not a multiple of 128 exercises the padded-tile path."""
     cfg = FeatureConfig(use_pallas=False)
