@@ -69,12 +69,12 @@ class ModelConfig:
     # banded-matmul conv formulation (MXU-dense; the small-channel NHWC
     # convs lane-pad badly on TPU — measured ~25x off roofline)
     conv_as_matmul: bool = True
-    # frequency-blocked banded forward + fullband backward (hybrid
-    # custom VJP, layers.conv2d_blocked_apply): cuts the banded FLOP
-    # inflation from ~1.9x to ~1.2-1.3x on the forward (measured
-    # -1.4 ms on the DS2 pair at B=128); gradient keeps the fullband
-    # formulation, which autodiffs at ~95% of MXU peak. Auto-falls
-    # back to fullband when no 128-lane output-freq tiling exists.
+    # frequency-blocked band matrices (layers.conv2d_blocked_apply):
+    # cuts the banded FLOP inflation from ~1.9x to ~1.2-1.3x; gradients
+    # flow through the blocked form by autodiff (a hybrid custom-VJP
+    # with fullband backward was measured and rejected — DESIGN §4b).
+    # Measured +3.4% on the full B=128 train step. Auto-falls back to
+    # fullband when no 128-lane output-freq tiling exists.
     conv_blocked_fwd: bool = True
     # first-party Pallas banded-conv kernel (ops/conv_pallas.py). Off by
     # default: XLA's 1-D banded conv is already near roofline for the

@@ -31,18 +31,25 @@ def measure_rtt() -> float:
 
 
 def timed(name, params, body, flops=None, peak=197e12,
-          n_chain=N_CHAIN):
-    """body(params) -> (scalar, grads-pytree-or-None); prints ms/iter.
+          n_chain=N_CHAIN, const=None):
+    """body(params[, const]) -> (scalar, grads-pytree-or-None);
+    prints ms/iter.
 
     Chains the full gradient tree through the carry (anti-DCE) and
     subtracts the tunnel RTT. ``flops`` adds a TF/s + %-of-peak column
-    (peak defaults to v5e bf16 MXU)."""
+    (peak defaults to v5e bf16 MXU). ``const`` is a pytree of LARGE
+    NON-CHAINED inputs (e.g. activations): it rides as a jit argument —
+    never a closed-over constant (which bakes into the HLO and can
+    overflow the axon remote-compile body limit) and never part of the
+    chained carry (whose per-iteration eps-add and grad reduction would
+    add untracked HBM traffic proportional to its size, distorting the
+    roofline columns)."""
     global RTT
 
     @jax.jit
-    def run(p):
+    def run(p, c):
         def step(carry, _):
-            loss, g = body(carry)
+            loss, g = body(carry) if const is None else body(carry, c)
             eps = loss * 1e-30
             if g is not None:
                 eps = eps + sum(jnp.sum(leaf.astype(jnp.float32))
@@ -53,11 +60,11 @@ def timed(name, params, body, flops=None, peak=197e12,
         p2, _ = jax.lax.scan(step, params, None, length=n_chain)
         return jax.tree_util.tree_leaves(p2)[0].ravel()[0]
 
-    float(run(params))
+    float(run(params, const))
     if RTT is None:
         RTT = measure_rtt()
     t0 = time.perf_counter()
-    float(run(params))
+    float(run(params, const))
     dt = (time.perf_counter() - t0 - RTT) / n_chain
     extra = ""
     if flops:

@@ -49,10 +49,16 @@ def main():
     fl2 = 2 * B * t1 * (f1 // 2) * 32 * 11 * 21 * 32
     true_fwd = fl1 + fl2
 
+    # "committed" times the production layers.conv2d_blocked_apply
+    # (blocked forward, autodiff gradient). NB: the 19.3 ms hybrid
+    # custom-VJP figure cited in layers.py/DESIGN §4b was measured when
+    # conv2d_blocked_apply briefly carried a fullband-backward
+    # custom_vjp; that variant was removed, so the figure is recorded
+    # in docs only and not reproducible here.
     from ctc_asr_tpu.models.layers import conv2d_blocked_apply
     for name, fn in [("fullband", conv2d_matmul_apply),
                      ("blocked", conv1d_blocked_apply),
-                     ("hybrid-vjp", conv2d_blocked_apply)]:
+                     ("committed", conv2d_blocked_apply)]:
         def fwd(p, fn=fn):
             y1 = jnp.clip(fn(p["c1"], x, (2, 2)), 0, 20)
             y2 = fn(p["c2"], y1, (1, 2))

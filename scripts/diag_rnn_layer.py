@@ -60,29 +60,31 @@ def main():
         dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16))(xd))
 
-    # NB: xproj/xd ride in the params dict so they are jit ARGUMENTS —
-    # closed-over device arrays bake into the HLO as constants, and at
-    # B=128 the ~400 MB payload overflows the axon remote-compile body
-    # limit (HTTP 413).
-    def kernel_fwd(p):
+    # NB: xproj/xd ride through timed(const=...) so they are jit
+    # ARGUMENTS (closed-over device arrays bake into the HLO as
+    # constants and overflow the axon remote-compile body limit at
+    # B=128) but stay OUT of the chained carry (whose per-iteration
+    # eps-add + grad reduction would add HBM traffic proportional to
+    # the activation size, distorting every roofline column).
+    def kernel_fwd(p, c):
         start = jnp.zeros((2, B, 1), jnp.int32)
         end = jnp.full((2, B, 1), T, jnp.int32)
         from ctc_asr_tpu.ops.lstm_pallas import lstm_seq_pallas
-        out = lstm_seq_pallas(p["xp"], p["b"], p["wh"].astype(jnp.bfloat16),
+        out = lstm_seq_pallas(c["xp"], p["b"], p["wh"].astype(jnp.bfloat16),
                               start, end, False)
         return jnp.sum(out.astype(jnp.float32)) * 1e-6, None
 
     timed("lstm kernel fwd only",
-          {"b": stacked["b"], "wh": stacked["wh"], "xp": xproj_b},
-          kernel_fwd, flops=f_rec)
+          {"b": stacked["b"], "wh": stacked["wh"]},
+          kernel_fwd, flops=f_rec, const={"xp": xproj_b})
 
-    def kernel_fwdbwd(p):
+    def kernel_fwdbwd(p, c):
         start = jnp.zeros((2, B, 1), jnp.int32)
         end = jnp.full((2, B, 1), T, jnp.int32)
         from ctc_asr_tpu.ops.lstm_pallas import lstm_seq_pallas
 
         def loss(pp):
-            out = lstm_seq_pallas(pp["xp"], pp["b"],
+            out = lstm_seq_pallas(c["xp"], pp["b"],
                                   pp["wh"].astype(jnp.bfloat16),
                                   start, end, False)
             return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
@@ -90,28 +92,26 @@ def main():
         return l, g
 
     timed("lstm kernel fwd+bwd (w/ dwh)",
-          {"b": stacked["b"], "wh": stacked["wh"], "xp": xproj_b},
-          kernel_fwdbwd, flops=f_rec * 2 + f_dwh)
+          {"b": stacked["b"], "wh": stacked["wh"]},
+          kernel_fwdbwd, flops=f_rec * 2 + f_dwh, const={"xp": xproj_b})
 
-    def layer_fwd(p):
+    def layer_fwd(p, c):
         out = rnn_mod.birnn_pair_apply(
-            {"wx": p["wx"], "wh": p["wh"], "b": p["b"]},
-            jax.lax.dot_general(
-                p["xd"], p["wx"].astype(jnp.bfloat16),
+            p, jax.lax.dot_general(
+                c["xd"], p["wx"].astype(jnp.bfloat16),
                 dimension_numbers=(((3,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32),
             lengths, "lstm")
         return jnp.sum(out.astype(jnp.float32)) * 1e-6, None
 
-    timed("full layer fwd", {**stacked, "xd": xd}, layer_fwd,
-          flops=f_xproj + f_rec)
+    timed("full layer fwd", stacked, layer_fwd,
+          flops=f_xproj + f_rec, const={"xd": xd})
 
-    def layer_fwdbwd(p):
+    def layer_fwdbwd(p, c):
         def loss(pp):
             out = rnn_mod.birnn_pair_apply(
-                {"wx": pp["wx"], "wh": pp["wh"], "b": pp["b"]},
-                jax.lax.dot_general(
-                    pp["xd"].astype(jnp.bfloat16),
+                pp, jax.lax.dot_general(
+                    c["xd"].astype(jnp.bfloat16),
                     pp["wx"].astype(jnp.bfloat16),
                     dimension_numbers=(((3,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32),
@@ -119,8 +119,9 @@ def main():
             return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
         return jax.value_and_grad(loss)(p)
 
-    timed("full layer fwd+bwd", {**stacked, "xd": xd}, layer_fwdbwd,
-          flops=2 * f_xproj + 2 * f_rec + f_dwh + f_dwx)
+    timed("full layer fwd+bwd", stacked, layer_fwdbwd,
+          flops=2 * f_xproj + 2 * f_rec + f_dwh + f_dwx,
+          const={"xd": xd})
 
 
 if __name__ == "__main__":

@@ -244,12 +244,11 @@ def test_conv_matmul_matches_conv():
 
 
 def test_conv_blocked_matches_conv():
-    """Blocked-band hybrid conv == lax conv (values AND gradients: the
-    forward is the frequency-blocked formulation, the custom VJP is the
-    fullband gradient — both must match plain conv2d_apply). Includes
-    both cases that tile onto 128 lanes and the no-tiling fallback, and
-    grads wrt the INPUT (the custom VJP's dx path, exercised by conv2
-    of a stacked frontend)."""
+    """Blocked-band conv == lax conv (values AND gradients, both by
+    autodiff through the blocked formulation — must match plain
+    conv2d_apply). Includes cases that tile onto 128 lanes, the
+    no-tiling fallback, and grads wrt the INPUT (the dx path exercised
+    by conv2 of a stacked frontend)."""
     from ctc_asr_tpu.models.layers import (_pick_gfo, _same_pad,
                                            conv2d_apply,
                                            conv2d_blocked_apply,
