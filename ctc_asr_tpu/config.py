@@ -151,6 +151,14 @@ class TrainConfig:
     adam_eps: float = 1e-8
     grad_clip_norm: float = 5.0
     weight_decay: float = 0.0
+    # SpecAugment (train-only time/freq feature masking — beyond the
+    # 2018 reference's surface, a WER lever for the "match or beat"
+    # target; features.spec_augment). Off by default.
+    specaugment: bool = False
+    sa_time_masks: int = 2
+    sa_time_ratio: float = 0.05  # max time-mask width as fraction of len
+    sa_freq_masks: int = 2
+    sa_freq_width: int = 15
     # Pallas CTC alpha/beta kernel (falls back to the pure-JAX scan
     # reference on platforms without Mosaic, i.e. CPU).
     use_pallas_ctc: bool = True

@@ -270,3 +270,62 @@ def _jnp_features(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     if cfg.feature_type == "mel":
         return log_mel_spectrogram(samples, cfg)
     raise ValueError(f"unknown feature_type {cfg.feature_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment (Park et al. 2019): train-only time/frequency masking on
+# the normalized features. Beyond the reference's capability surface
+# (it predates SpecAugment) — a WER lever for the "match or beat"
+# target; off by default (TrainConfig.specaugment). Fully static-shape
+# and vectorized: mask counts/max-widths are config constants, per-
+# utterance widths/starts are sampled on-device, and time masks are
+# confined to each utterance's valid [0, len) region.
+# ---------------------------------------------------------------------------
+
+def _axis_masks(rng, n_masks: int, length: int, max_width, limit):
+    """[B, length] bool: union of ``n_masks`` random spans per row.
+
+    max_width/limit: [B] (or scalar-broadcastable) per-row maximum mask
+    width and exclusive upper bound for span placement. Width 0 spans
+    mask nothing, so rows with limit 0 are no-ops.
+    """
+    import jax
+    k1, k2 = jax.random.split(rng)
+    B = limit.shape[0]
+    u_w = jax.random.uniform(k1, (B, n_masks))
+    u_s = jax.random.uniform(k2, (B, n_masks))
+    maxw = jnp.minimum(max_width, limit).astype(jnp.float32)[:, None]
+    w = jnp.floor(u_w * (maxw + 1.0))                     # [B, n] in [0, maxw]
+    lim = limit.astype(jnp.float32)[:, None]
+    s = jnp.floor(u_s * jnp.maximum(lim - w + 1.0, 1.0))  # [B, n]
+    pos = jnp.arange(length, dtype=jnp.float32)[None, None, :]
+    spans = (pos >= s[..., None]) & (pos < (s + w)[..., None])
+    return jnp.any(spans, axis=1)                         # [B, length]
+
+
+def spec_augment(rng, feats: jnp.ndarray, frame_lengths: jnp.ndarray,
+                 n_time_masks: int, time_ratio: float,
+                 n_freq_masks: int, freq_width: int) -> jnp.ndarray:
+    """feats [B, T, F] -> masked copy (zeros inside masked spans).
+
+    Time-mask width is bounded by ``time_ratio * len`` per utterance
+    (the adaptive rule); frequency masks use the absolute
+    ``freq_width`` bound. Normalized features are ~zero-mean, so zero
+    fill matches the mean-fill convention.
+    """
+    import jax
+    B, T, F = feats.shape
+    kt, kf = jax.random.split(rng)
+    keep = jnp.ones((B, T, 1), feats.dtype)
+    if n_time_masks > 0:
+        lens = frame_lengths.astype(jnp.float32)
+        tm = _axis_masks(kt, n_time_masks, T,
+                         jnp.floor(time_ratio * lens), lens)
+        keep = keep * (1.0 - tm.astype(feats.dtype))[..., None]
+    feats = feats * keep
+    if n_freq_masks > 0:
+        full = jnp.full((B,), F, jnp.int32)
+        fm = _axis_masks(kf, n_freq_masks, F,
+                         jnp.full((B,), freq_width, jnp.float32), full)
+        feats = feats * (1.0 - fm.astype(feats.dtype))[:, None, :]
+    return feats

@@ -102,6 +102,14 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None,
                 dropout_rng, jax.lax.axis_index(data_axis))
         feats, flens = feat_mod.extract_features(
             samples, sample_lengths, cfg.features)
+        if cfg.train.specaugment:
+            # fold_in keeps the dropout stream identical whether or not
+            # augmentation is enabled (and across restarts)
+            sa_rng = jax.random.fold_in(dropout_rng, 7)
+            feats = feat_mod.spec_augment(
+                sa_rng, feats, flens,
+                cfg.train.sa_time_masks, cfg.train.sa_time_ratio,
+                cfg.train.sa_freq_masks, cfg.train.sa_freq_width)
 
         def loss_fn(params):
             logits, logit_lens = apply_encoder(

@@ -126,3 +126,68 @@ def test_dataset_stats_global_normalization(tmp_path):
                         normalization="global")
     feats3, _ = features.extract_features(x, lens, fc3)
     assert not np.allclose(np.asarray(feats), np.asarray(feats3))
+
+
+def test_spec_augment_masks_and_bounds():
+    """SpecAugment: spans only zero values, time masks stay inside each
+    utterance's valid region, and widths respect the config bounds."""
+    import jax
+    from ctc_asr_tpu.features import spec_augment
+    rng = np.random.default_rng(0)
+    B, T, F = 4, 60, 20
+    feats = jnp.asarray(np.abs(rng.standard_normal((B, T, F))) + 1.0)
+    lens = jnp.asarray([60, 40, 10, 60], jnp.int32)
+    out = np.asarray(spec_augment(jax.random.PRNGKey(3), feats, lens,
+                                  n_time_masks=2, time_ratio=0.2,
+                                  n_freq_masks=2, freq_width=5))
+    orig = np.asarray(feats)
+    assert out.shape == orig.shape
+    # every element is either untouched or exactly zeroed
+    changed = out != orig
+    assert np.all(out[changed] == 0.0)
+    assert changed.any()  # masks actually fire at these settings
+    for b in range(B):
+        L = int(lens[b])
+        # time-masked rows (fully zero rows) only inside [0, len)
+        row_zeroed = np.all(changed[b], axis=1)
+        assert not row_zeroed[L:].any()
+        # per-axis width bounds: time <= 2 masks * ceil(0.2*L),
+        # freq <= 2 masks * 5 columns
+        assert row_zeroed.sum() <= 2 * int(np.ceil(0.2 * L))
+        col_zeroed = np.all(changed[b, :L], axis=0)
+        assert col_zeroed.sum() <= 2 * 5
+
+
+def test_spec_augment_disabled_in_step_is_identity():
+    """The train step with specaugment off must be bit-identical to the
+    pre-flag behavior (the sa rng is fold_in-derived, so streams don't
+    shift), and with it on the loss must stay finite."""
+    import jax
+    from ctc_asr_tpu.config import (Config, DataConfig, FeatureConfig,
+                                    ModelConfig, TrainConfig)
+    from ctc_asr_tpu.train import init_train_state, make_step_fn
+    rng = np.random.default_rng(0)
+    model = ModelConfig(frontend="dense", dense_layers=1, dense_units=16,
+                        rnn_layers=1, rnn_units=16, dropout=0.1,
+                        compute_dtype="float32")
+    mk = lambda sa: Config(  # noqa: E731
+        features=FeatureConfig(use_pallas=False),
+        model=model, data=DataConfig(batch_size=2),
+        train=TrainConfig(seed=0, specaugment=sa, sa_time_ratio=0.3))
+    B, S, U = 2, 16000, 8
+    samples = (rng.standard_normal((B, S)) * 0.1).astype(np.float32)
+    slens = np.full((B,), S, np.int32)
+    labels = rng.integers(0, 28, (B, U)).astype(np.int32)
+    llens = np.full((B,), U, np.int32)
+    losses = {}
+    for sa in (False, True):
+        cfg = mk(sa)
+        state = init_train_state(cfg)
+        _, m = make_step_fn(cfg)(state, samples, slens, labels, llens)
+        losses[sa] = float(m["loss"])
+    assert np.isfinite(losses[True])
+    # off-path loss must match a second off-path run exactly
+    cfg = mk(False)
+    state = init_train_state(cfg)
+    _, m2 = make_step_fn(cfg)(state, samples, slens, labels, llens)
+    assert losses[False] == float(m2["loss"])
