@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--n-train", type=int, default=256)
     ap.add_argument("--n-eval", type=int, default=64)
     ap.add_argument("--out", default="/tmp/ctc_asr_tpu_holdout")
+    ap.add_argument("--specaugment", action="store_true",
+                    help="train with SpecAugment (features.spec_augment)")
     args = ap.parse_args()
 
     from ctc_asr_tpu.config import (Config, DataConfig, DecodeConfig,
@@ -54,6 +56,7 @@ def main():
         train=TrainConfig(learning_rate=5e-4, total_steps=args.steps,
                           log_every=100, eval_every=0,
                           checkpoint_every=args.steps,
+                          specaugment=args.specaugment,
                           train_dir=os.path.join(args.out, "train")),
         decode=DecodeConfig(method="beam", beam_width=16),
     )
@@ -72,6 +75,7 @@ def main():
         "heldout_wer": round(r["wer"], 4),
         "heldout_cer": round(r["cer"], 4),
         "beam_rtf": round(r["rtf"], 5),
+        "specaugment": args.specaugment,
     }))
 
 
