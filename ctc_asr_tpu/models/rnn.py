@@ -1,4 +1,5 @@
-"""Recurrent layers: LSTM / GRU via lax.scan, uni- and bidirectional.
+"""Recurrent layers: LSTM / GRU / vanilla-tanh via lax.scan, uni- and
+bidirectional.
 
 Replaces the reference's cuDNN RNN dependency (SURVEY.md §2b: fused
 multi-layer (bi)LSTM/GRU in CUDA) with an XLA-native design shaped for

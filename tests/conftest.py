@@ -25,3 +25,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Make the repo root importable regardless of pytest rootdir.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# SURVEY.md §5 "race detection/sanitizers": NaN-trap gate — run the
+# whole suite with every jit raising on the first NaN it produces via
+#   CTC_ASR_DEBUG_NANS=1 python -m pytest tests/ -q
+# Off by default: legitimate -inf arithmetic in the log-space CTC /
+# beam tests makes it a debugging mode, not a CI default.
+if os.environ.get("CTC_ASR_DEBUG_NANS"):
+    import jax
+    jax.config.update("jax_debug_nans", True)
