@@ -73,8 +73,11 @@ class ModelConfig:
     # cuts the banded FLOP inflation from ~1.9x to ~1.2-1.3x; gradients
     # flow through the blocked form by autodiff (a hybrid custom-VJP
     # with fullband backward was measured and rejected — DESIGN §4b).
-    # Measured +3.4% on the full B=128 train step. Auto-falls back to
-    # fullband when no 128-lane output-freq tiling exists.
+    # Measured +3.4% on the full B=128 train step; shape-dependent —
+    # at B=192 fullband wins by ~4.5% (fewer, fatter matmuls pipeline
+    # better), so flip this off for very large batches (BASELINE.md
+    # sweep). Auto-falls back to fullband when no 128-lane output-freq
+    # tiling exists.
     conv_blocked_fwd: bool = True
     # first-party Pallas banded-conv kernel (ops/conv_pallas.py). Off by
     # default: XLA's 1-D banded conv is already near roofline for the
