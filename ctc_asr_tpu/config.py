@@ -81,7 +81,7 @@ class ModelConfig:
     conv_blocked_fwd: bool = True
     # first-party Pallas banded-conv kernel (ops/conv_pallas.py). Off by
     # default: XLA's 1-D banded conv is already near roofline for the
-    # DS2 shapes (diag_conv7: 1.6 vs 2.2 ms fwd+bwd) — the kernel exists
+    # DS2 shapes (diag_conv.py --mode kernels: 1.6 vs 2.2 ms fwd+bwd) — the kernel exists
     # for shapes/fusions XLA handles poorly and as the BASELINE.json:5
     # conv-frontend kernel; parity-tested either way.
     use_pallas_conv: bool = False
@@ -201,6 +201,11 @@ class DecodeConfig:
     rescore_alpha: float = 1.0
     rescore_beta: float = 0.0
     nbest: int = 8
+    # max emitted transcript length in characters. 0 = derive from
+    # data.max_audio_seconds at MAX_CHARS_PER_SECOND (ops/beam.py) so a
+    # long-audio config grows the decode buffer instead of silently
+    # truncating at the kernel's former 256-lane clamp
+    max_decode_len: int = 0
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,7 @@ no per-utterance file opens.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 
@@ -37,9 +38,17 @@ from ..config import DataConfig, FeatureConfig
 
 
 def feature_key(cfg: FeatureConfig) -> str:
-    """Stable fingerprint of every field that changes feature values."""
+    """Stable fingerprint of every field that changes feature values.
+
+    When ``stats_path`` is set, the fingerprint includes a hash of the
+    stats file CONTENTS, not just the path — regenerating stats at the
+    same path must invalidate the cache rather than be silently accepted.
+    """
     d = dataclasses.asdict(cfg)
     d.pop("use_pallas", None)  # dispatch choice, parity-tested identical
+    if cfg.stats_path and os.path.exists(cfg.stats_path):
+        with open(cfg.stats_path, "rb") as f:
+            d["stats_sha1"] = hashlib.sha1(f.read()).hexdigest()
     return json.dumps(d, sort_keys=True)
 
 
@@ -128,7 +137,13 @@ class FeatureCache:
 
     def read(self, path: str) -> np.ndarray:
         """[n_frames, dim] float16 view (zero-copy) for one utterance."""
-        off, n = self.entries[path]
+        try:
+            off, n = self.entries[path]
+        except KeyError:
+            raise ValueError(
+                f"utterance {path!r} is not in the feature cache (the "
+                "manifest was extended after prepare-features ran?) — "
+                "rebuild the cache with the prepare-features CLI") from None
         return self._data[off:off + n]
 
     def read_batch(self, paths: list, max_frames: int):

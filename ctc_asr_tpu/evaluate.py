@@ -40,7 +40,9 @@ def make_decoder(cfg: Config):
             beam_width=cfg.decode.beam_width, lm=lm,
             lm_weight=cfg.decode.lm_weight,
             word_bonus=cfg.decode.word_bonus,
-            use_pallas=resolve_use_pallas(cfg.decode.use_pallas))
+            use_pallas=resolve_use_pallas(cfg.decode.use_pallas),
+            max_decode_len=beam_mod.derive_max_decode_len(
+                cfg.decode, cfg.data))
     raise ValueError(f"unknown decode method {cfg.decode.method!r}")
 
 
@@ -61,6 +63,7 @@ def make_nbest_decoder(cfg: Config):
         table, init_ctx, lm_weight, word_bonus = None, 0, 0.0, 0.0
 
     K = min(cfg.decode.nbest, cfg.decode.beam_width)
+    max_dec = beam_mod.derive_max_decode_len(cfg.decode, cfg.data)
 
     from .ops.dispatch import resolve_use_pallas
     use_pallas = resolve_use_pallas(cfg.decode.use_pallas)
@@ -77,13 +80,13 @@ def make_nbest_decoder(cfg: Config):
                 logits, logit_lens, beam_width=cfg.decode.beam_width,
                 lm_table=table, lm_weight=lm_weight,
                 word_bonus=word_bonus, init_ctx=init_ctx,
-                return_nbest=True)
+                return_nbest=True, max_decode_len=max_dec)
         else:
             ids, lens, scores = beam_mod.beam_search_decode(
                 logits, logit_lens, beam_width=cfg.decode.beam_width,
                 lm_table=table, lm_weight=lm_weight,
                 word_bonus=word_bonus, init_ctx=init_ctx,
-                return_nbest=True)
+                return_nbest=True, max_decode_len=max_dec)
         return ids[:, :K], lens[:, :K], scores[:, :K]
 
     def pick_best(ids, lens, scores):

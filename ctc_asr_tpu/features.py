@@ -155,13 +155,16 @@ def normalize_features(feats: jnp.ndarray, frame_lengths: jnp.ndarray,
     dataset-level arrays used by "global" mode; without them, "global"
     falls back to whole-batch statistics.
     """
-    if mode == "none":
-        return feats
     B, T, F = feats.shape
     mask = (jnp.arange(T)[None, :] < frame_lengths[:, None])  # [B, T]
     maskf = mask[..., None].astype(feats.dtype)
     n = jnp.maximum(frame_lengths.astype(feats.dtype), 1.0)[:, None, None]
-    if mode == "utterance":
+    if mode == "none":
+        # Zero pad frames even without normalization: conv SAME receptive
+        # fields pull pad frames into valid outputs, so pad content must
+        # be mode-independent (and match the zero-filled feature cache).
+        out = feats
+    elif mode == "utterance":
         mean = jnp.sum(feats * maskf, axis=1, keepdims=True) / n
         var = jnp.sum(jnp.square(feats - mean) * maskf, axis=1,
                       keepdims=True) / n

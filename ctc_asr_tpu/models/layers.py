@@ -138,12 +138,12 @@ def conv2d_matmul_apply(params: dict, x: jnp.ndarray, strides,
 # 128-lane tile) shrinks each block's contraction to its receptive slab
 # (gin_f = (gfo-1)*sf + kf input rows), cutting the inflation to
 # gin_f/kf ~ 1.2-1.3x while every matmul stays MXU-dense. Measured at
-# B=128 on v5e (scripts/diag_conv8.py, RTT-corrected, full-grad chain,
+# B=128 on v5e (scripts/diag_conv.py --mode blocked, RTT-corrected, full-grad chain,
 # DS2 conv pair): fwd 5.45 vs 6.90 ms fullband; fwd+bwd 16.68 vs
 # 17.15 ms (the blocked dx pays overlapping-slab adds back, keeping
 # most of the forward win). Two rejected variants, measured: a hybrid
 # custom-VJP (blocked fwd + fullband-autodiff bwd) — the vjp-internal
-# fullband forward is NOT DCE'd, fwd+bwd 19.3 ms; and diag_conv3's
+# fullband forward is NOT DCE'd, fwd+bwd 19.3 ms; and the round-1 diag_conv3 one-off's
 # original rejection of blocking, which predated the RTT protocol fix
 # and consumed one grad leaf (backward mostly DCE'd).
 # ---------------------------------------------------------------------------

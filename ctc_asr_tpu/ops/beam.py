@@ -249,7 +249,8 @@ def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
     prefix length (defaults to min(T, 256)).
     """
     B, T, C = logits.shape
-    U = max_decode_len or min(T, 256)
+    # one char max per frame: min(max_decode_len, T) is exact, not a cap
+    U = min(max_decode_len, max(T, 1)) if max_decode_len else min(T, 256)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     if lm_ctx_size is None:
         lm_ctx_size = int(lm_table.shape[0]) \
@@ -266,8 +267,26 @@ def beam_search_decode(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
     return prefixes[:, 0], lengths[:, 0]
 
 
+# Conservative upper bound on English character rate (incl. spaces);
+# ~12 chars/s is typical fast speech, 16 leaves headroom. Used to derive
+# the decode-buffer length from data.max_audio_seconds so long-audio
+# configs fail loudly (or grow the buffer) instead of truncating.
+MAX_CHARS_PER_SECOND = 16.0
+
+
+def derive_max_decode_len(decode_cfg, data_cfg) -> int:
+    """Decode-buffer length for a Config: explicit override or
+    ``ceil(max_audio_seconds * MAX_CHARS_PER_SECOND)``."""
+    if getattr(decode_cfg, "max_decode_len", 0):
+        return int(decode_cfg.max_decode_len)
+    import math
+    return max(8, math.ceil(
+        float(data_cfg.max_audio_seconds) * MAX_CHARS_PER_SECOND))
+
+
 def make_beam_decoder(beam_width: int, lm=None, lm_weight: float = 0.0,
-                      word_bonus: float = 0.0, use_pallas: bool = False):
+                      word_bonus: float = 0.0, use_pallas: bool = False,
+                      max_decode_len: int | None = None):
     """Build a jitted ``(logits, logit_lens) -> (ids, lens)`` decoder.
 
     When ``lm`` (a dict from ops.lm) is given, shallow fusion is enabled;
@@ -294,13 +313,14 @@ def make_beam_decoder(beam_width: int, lm=None, lm_weight: float = 0.0,
         else:
             return beam_pallas.make_beam_decoder_pallas(
                 beam_width, table, lm_weight, word_bonus, init_ctx,
-                lm_vocab)
+                lm_vocab, max_decode_len=max_decode_len)
 
     @jax.jit
     def decode(logits, logit_lens):
         return beam_search_decode(
             logits, logit_lens, beam_width=beam_width, lm_table=table,
             lm_weight=lm_weight, word_bonus=word_bonus,
-            init_ctx=init_ctx, lm_vocab=lm_vocab)
+            init_ctx=init_ctx, lm_vocab=lm_vocab,
+            max_decode_len=max_decode_len)
 
     return decode

