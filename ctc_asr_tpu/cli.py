@@ -144,6 +144,32 @@ def cmd_prepare_synth(argv):
     return 0
 
 
+def cmd_prepare_synth_hard(argv):
+    p = argparse.ArgumentParser(
+        prog="prepare-synth-hard",
+        description="Discriminating synthetic corpus: speaker formant/"
+                    "speed perturbation, additive noise at SNR, tone "
+                    "babble, disjoint train/dev/test splits with "
+                    "held-out test speakers.")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-train", type=int, default=512)
+    p.add_argument("--n-dev", type=int, default=64)
+    p.add_argument("--n-test", type=int, default=96)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--vocab-size", type=int, default=384)
+    p.add_argument("--snr-low", type=float, default=5.0)
+    p.add_argument("--snr-high", type=float, default=20.0)
+    args = p.parse_args(argv)
+    from .data.synth import generate_hard_corpus
+    m = generate_hard_corpus(
+        args.out, n_train=args.n_train, n_dev=args.n_dev,
+        n_test=args.n_test, seed=args.seed, vocab_size=args.vocab_size,
+        snr_db=(args.snr_low, args.snr_high))
+    for k in ("train", "dev", "test"):
+        print(f"{k}\t{m[k]}")
+    return 0
+
+
 def cmd_prepare_librispeech(argv):
     p = argparse.ArgumentParser(prog="prepare-librispeech")
     p.add_argument("--root", required=True,
@@ -264,6 +290,7 @@ COMMANDS = {
     "evaluate": cmd_evaluate,
     "transcribe": cmd_transcribe,
     "prepare-synth": cmd_prepare_synth,
+    "prepare-synth-hard": cmd_prepare_synth_hard,
     "prepare-librispeech": cmd_prepare_librispeech,
     "prepare-corpus": cmd_prepare_corpus,
     "train-lm": cmd_train_lm,

@@ -1,0 +1,195 @@
+"""Judge config ladder on the HARD synthetic corpus (VERDICT r1 #1).
+
+The round-1 corpus saturated at 0.0% WER on every rung, so the
+acceptance axis could not discriminate. This script re-runs the
+BASELINE.json config ladder on data/synth.py's hard corpus (speaker
+formant/speed perturbation, additive noise at SNR, tone babble,
+disjoint train/dev/test splits, held-out test speakers) and emits the
+per-rung WER table for BASELINE.md. Expected ordering:
+
+    pr1 (MFCC + uni-RNN + greedy)  >  ds2 (conv+3xBiLSTM, greedy)
+    >  ds3 (5xBiRNN-800, beam 64)  >=  ds3 + char-LM fusion
+    >=  + word-LM N-best rescoring
+
+The char-LM fusion weight is selected on DEV (never test), then the
+chosen weight is reported on TEST — the standard protocol.
+
+Usage (TPU or CPU):
+    python scripts/run_ladder_hard.py --out /tmp/ladder_hard \
+        [--rungs pr1,ds2,ds3] [--steps-scale 1.0]
+"""
+
+import argparse
+import dataclasses as dc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_corpus(out, args):
+    from ctc_asr_tpu.data.synth import generate_hard_corpus
+    corpus = os.path.join(out, "corpus")
+    marker = os.path.join(corpus, "test.csv")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        generate_hard_corpus(corpus, n_train=args.n_train,
+                             n_dev=args.n_dev, n_test=args.n_test,
+                             seed=7, snr_db=(args.snr_low, args.snr_high))
+        print(f"[ladder] corpus generated in {time.time()-t0:.1f}s",
+              flush=True)
+    return {k: os.path.join(corpus, f"{k}.csv")
+            for k in ("train", "dev", "test")}
+
+
+def train_lms(out, train_manifest):
+    """Char 4-gram (fusion) + word bigram (rescoring) from TRAIN text."""
+    from ctc_asr_tpu.data import read_manifest
+    from ctc_asr_tpu.ops import lm as lm_mod
+    char_path = os.path.join(out, "charlm.npz")
+    word_path = os.path.join(out, "wordlm.pkl")
+    if not (os.path.exists(char_path) and os.path.exists(word_path)):
+        texts = [u.transcript for u in read_manifest(train_manifest)]
+        lm_mod.save_lm(char_path, lm_mod.train_char_lm(texts, order=4))
+        lm_mod.save_word_lm(word_path, lm_mod.train_word_lm(texts, order=2))
+        print("[ladder] LMs trained", flush=True)
+    return char_path, word_path
+
+
+def rung_cfg(preset_name, man, out, rung, steps, batch, lr):
+    from ctc_asr_tpu.config import preset
+    cfg = preset(preset_name)
+    return dc.replace(
+        cfg,
+        data=dc.replace(cfg.data, train_manifest=man["train"],
+                        eval_manifest=man["test"], batch_size=batch,
+                        num_buckets=2, min_audio_seconds=0.3,
+                        max_audio_seconds=12.0),
+        model=dc.replace(cfg.model, dropout=0.1),
+        train=dc.replace(cfg.train, learning_rate=lr, total_steps=steps,
+                         log_every=200, eval_every=0,
+                         checkpoint_every=steps,
+                         train_dir=os.path.join(out, f"train_{rung}")))
+
+
+def eval_split(cfg, params, manifest_path, log_samples=2):
+    from ctc_asr_tpu.data import DataLoader, read_manifest
+    from ctc_asr_tpu.evaluate import evaluate
+    loader = DataLoader(read_manifest(manifest_path), cfg.data,
+                        cfg.features, drop_last=False)
+    return evaluate(cfg, params, loader=loader, log_samples=log_samples)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/ladder_hard")
+    ap.add_argument("--rungs", default="pr1,ds2,ds3")
+    ap.add_argument("--n-train", type=int, default=512)
+    ap.add_argument("--n-dev", type=int, default=64)
+    ap.add_argument("--n-test", type=int, default=96)
+    ap.add_argument("--snr-low", type=float, default=5.0)
+    ap.add_argument("--snr-high", type=float, default=20.0)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps-scale", type=float, default=1.0)
+    ap.add_argument("--lm-weights", default="0.2,0.4,0.6")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    man = get_corpus(args.out, args)
+    char_lm_path, word_lm_path = train_lms(args.out, man["train"])
+    rungs = args.rungs.split(",")
+    results = []
+    results_path = os.path.join(args.out, "ladder_results.jsonl")
+
+    from ctc_asr_tpu.train import train
+
+    def emit(rec):
+        results.append(rec)
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print("[ladder] " + json.dumps(rec), flush=True)
+
+    sc = args.steps_scale
+
+    if "pr1" in rungs:
+        cfg = rung_cfg("pr1_mfcc_uni", man, args.out, "pr1",
+                       int(2500 * sc), args.batch, 5e-4)
+        t0 = time.time()
+        state = train(cfg)
+        r = eval_split(cfg, state["params"], man["test"])
+        emit({"rung": "pr1_mfcc_uni", "decode": "greedy",
+              "steps": int(state["step"]),
+              "train_wall_s": round(time.time() - t0, 1),
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+
+    if "ds2" in rungs:
+        cfg = rung_cfg("conv_bilstm3", man, args.out, "ds2",
+                       int(2000 * sc), args.batch, 5e-4)
+        t0 = time.time()
+        state = train(cfg)
+        r = eval_split(cfg, state["params"], man["test"])
+        emit({"rung": "conv_bilstm3", "decode": "greedy",
+              "steps": int(state["step"]),
+              "train_wall_s": round(time.time() - t0, 1),
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+
+    if "ds3" in rungs:
+        # one training run serves the beam, +charLM, and +wordLM rungs
+        cfg = rung_cfg("deepspeech_beam", man, args.out, "ds3",
+                       int(2000 * sc), args.batch, 3e-4)
+        t0 = time.time()
+        state = train(cfg)
+        wall = round(time.time() - t0, 1)
+        params = state["params"]
+
+        gcfg = dc.replace(cfg, decode=dc.replace(cfg.decode,
+                                                 method="greedy"))
+        r = eval_split(gcfg, params, man["test"], log_samples=0)
+        emit({"rung": "deepspeech_beam", "decode": "greedy(diagnostic)",
+              "steps": int(state["step"]), "train_wall_s": wall,
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+
+        r = eval_split(cfg, params, man["test"])
+        emit({"rung": "deepspeech_beam", "decode": "beam64",
+              "steps": int(state["step"]),
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+
+        # char-LM fusion: select weight on DEV, report on TEST
+        best_w, best_dev = None, float("inf")
+        for w in [float(x) for x in args.lm_weights.split(",")]:
+            lcfg = dc.replace(cfg, decode=dc.replace(
+                cfg.decode, lm_path=char_lm_path, lm_weight=w,
+                word_bonus=0.5))
+            rd = eval_split(lcfg, params, man["dev"], log_samples=0)
+            print(f"[ladder] dev sweep lm_weight={w}: "
+                  f"wer={rd['wer']:.4f}", flush=True)
+            if rd["wer"] < best_dev:
+                best_dev, best_w = rd["wer"], w
+        lcfg = dc.replace(cfg, decode=dc.replace(
+            cfg.decode, lm_path=char_lm_path, lm_weight=best_w,
+            word_bonus=0.5))
+        r = eval_split(lcfg, params, man["test"])
+        emit({"rung": "lm_fusion", "decode": f"beam64+charlm(w={best_w})",
+              "dev_wer": round(best_dev, 4),
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+
+        # + word-LM N-best rescoring on top of the fused beam
+        wcfg = dc.replace(lcfg, decode=dc.replace(
+            lcfg.decode, word_lm_path=word_lm_path))
+        r = eval_split(wcfg, params, man["test"], log_samples=0)
+        emit({"rung": "lm_fusion+rescore",
+              "decode": f"beam64+charlm(w={best_w})+wordlm",
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+
+    print(json.dumps({"ladder": results}))
+
+
+if __name__ == "__main__":
+    main()
