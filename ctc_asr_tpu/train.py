@@ -74,7 +74,8 @@ def init_train_state(cfg: Config, feat_dim: int | None = None) -> dict:
 
 
 def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None,
-                 data_axis: str | None = None):
+                 data_axis: str | None = None,
+                 feature_fn=None, ctc_fn=None):
     """The bare (unjitted) train step ``(state, samples, sample_lens,
     labels, label_lens) -> (state, metrics)``.
 
@@ -87,6 +88,13 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None,
     the axis before the optimizer (every shard then applies the same
     update), and the dropout rng folds in the shard index so masks
     decorrelate across shards.
+
+    ``feature_fn`` / ``ctc_fn``: optional substitutes for the feature
+    frontend ``(samples, slens) -> (feats, flens)`` and the loss
+    ``(logits, logit_lens, labels, label_lens) -> scalar``. The hybrid
+    DP+TP regime (parallel/dist.py) passes shard_map-wrapped islands
+    here so the batch-parallel Pallas kernels keep running while GSPMD
+    auto-partitions the encoder matmuls over 'model'.
     """
     from .ops.dispatch import resolve_use_pallas
     if use_pallas_ctc is None:
@@ -94,14 +102,20 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None,
     use_pallas_ctc = resolve_use_pallas(use_pallas_ctc)
     tx = build_optimizer(cfg.train)
     sched = build_lr_schedule(cfg.train)
+    if feature_fn is None:
+        def feature_fn(samples, slens):
+            return feat_mod.extract_features(samples, slens, cfg.features)
+    if ctc_fn is None:
+        def ctc_fn(logits, logit_lens, labels, label_lens):
+            return ctc_loss(logits, logit_lens, labels, label_lens,
+                            use_pallas=use_pallas_ctc)
 
     def step_fn(state, samples, sample_lengths, labels, label_lengths):
         rng, dropout_rng = jax.random.split(state["rng"])
         if data_axis is not None:
             dropout_rng = jax.random.fold_in(
                 dropout_rng, jax.lax.axis_index(data_axis))
-        feats, flens = feat_mod.extract_features(
-            samples, sample_lengths, cfg.features)
+        feats, flens = feature_fn(samples, sample_lengths)
         if cfg.train.specaugment:
             # fold_in keeps the dropout stream identical whether or not
             # augmentation is enabled (and across restarts)
@@ -115,8 +129,7 @@ def make_step_fn(cfg: Config, use_pallas_ctc: bool | None = None,
             logits, logit_lens = apply_encoder(
                 params, feats, flens, cfg.model, train=True,
                 dropout_rng=dropout_rng)
-            return ctc_loss(logits, logit_lens, labels, label_lengths,
-                            use_pallas=use_pallas_ctc)
+            return ctc_fn(logits, logit_lens, labels, label_lengths)
 
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
         if data_axis is not None:
