@@ -12,6 +12,37 @@ reference's sox/ffmpeg subprocess step. Without a converter on PATH,
 non-wav corpora raise a clear error (this zero-egress image ships
 neither tool nor corpora; the synthetic corpus in synth.py covers
 tests/benches).
+
+Corpus acquisition (the reference's download/extract step, SURVEY.md
+§3.4 — network-gated here, so documented rather than automated). In a
+networked environment, fetch + extract, then point the matching
+``prepare_*``/CLI command at the extracted root:
+
+- **LibriSpeech** (https://www.openslr.org/12): archives
+  ``train-clean-100.tar.gz`` (6.3 GB), ``train-clean-360.tar.gz``
+  (23 GB), ``train-other-500.tar.gz`` (30 GB), ``dev-clean.tar.gz``,
+  ``dev-other.tar.gz``, ``test-clean.tar.gz``, ``test-other.tar.gz``
+  from ``https://www.openslr.org/resources/12/<name>``; MD5 checksums
+  are published beside each archive on that page — verify with
+  ``md5sum`` before extracting. Layout after ``tar xzf``:
+  ``LibriSpeech/<split>/<speaker>/<chapter>/*.flac`` +
+  ``*.trans.txt`` (what ``prepare_librispeech`` expects).
+- **Common Voice** (https://commonvoice.mozilla.org/datasets):
+  versioned ``cv-corpus-*-en.tar.gz`` with ``validated.tsv`` +
+  ``clips/*.mp3`` (requires ffmpeg/sox on PATH).
+- **TED-LIUM release 2** (https://www.openslr.org/19):
+  ``TEDLIUM_release2.tar.gz`` (35 GB) — ``<split>/sph/*.sph`` +
+  ``<split>/stm/*.stm``.
+- **TIMIT** (LDC catalog LDC93S1 — licensed, no public URL):
+  ``TIMIT/{TRAIN,TEST}/<dialect>/<speaker>/*.{WAV,TXT}``.
+- **Tatoeba** (https://tatoeba.org/en/downloads): ``sentences.csv``
+  plus per-sentence audio from
+  ``https://audio.tatoeba.org/sentences/<lang>/<id>.mp3``.
+
+The reference merged LibriSpeech + Common Voice + TED-LIUM + Tatoeba
+(+ TIMIT) into one train CSV; ``merge_manifests`` + ``sort_by_length``
+reproduce that, and the README "Getting real data" section carries the
+same instructions.
 """
 
 from __future__ import annotations
