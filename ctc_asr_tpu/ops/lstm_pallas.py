@@ -57,6 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 TIME_BLOCK = 8
 _VMEM_BUDGET = 15 << 20  # vs the 16M scoped limit: see _pick_tt
 
+# Measurement flag (VERDICT r1 next #7): shared-subexpression BPTT gate
+# backward. Read at import; flip via env to A/B the kernels:
+#   CTC_ASR_LSTM_BWD_V2=1 python scripts/diag_rnn_layer.py ...
+import os as _os
+_BWD_V2 = _os.environ.get("CTC_ASR_LSTM_BWD_V2", "0") == "1"
+
 
 def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     """Largest time block whose pipeline buffers fit the scoped budget.
@@ -74,11 +80,20 @@ def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     16.02M on hardware — streamed 11.5M + temps 4.46M by this model
     (the old temps-free model predicted 11.5M and OOM'd by 24K);
     B=64/TT=4 predicts 13.8M and runs; B=64/TT=8 overflows (measured
-    20.5M); B=32/TT=8 predicts 12.6M and runs."""
+    20.5M); B=32/TT=8 predicts 12.6M and runs.
+
+    Wide-gate geometries overshoot this model: at nd=2/B=32/H=800/
+    G=3200 the BPTT kernel's measured scoped stack is 19.08M where the
+    model says 10.67M at TT=4 (round-2 ds3 OOM; exact Mosaic stack
+    accounting for the wide-lane blocks is opaque), so H>512 applies a
+    2x calibrated safety factor — it reproduces the measured round-1
+    behavior (H=800/B=8 keeps TT=8, modeled 9.9M<15M) while dropping
+    the OOM'ing H=800/B=32 case from TT=4 to TT=2."""
     per_t = nd * B * (G + 7 * H) * 2 * 2  # bf16 x double-buffered
     temps = B * (3 * G + 5 * H) * 4       # f32 step intermediates
+    factor = 2 if H > 512 else 1
     tt = TIME_BLOCK
-    while tt > 1 and per_t * tt + temps > _VMEM_BUDGET:
+    while tt > 1 and factor * (per_t * tt + temps) > _VMEM_BUDGET:
         tt //= 2
     return max(1, min(tt, T))
 
@@ -93,7 +108,8 @@ def fused_fits(nd: int, B: int, H: int, G: int) -> bool:
     than built."""
     per_t = nd * B * (G + 7 * H) * 2 * 2
     temps = B * (3 * G + 5 * H) * 4
-    return per_t + temps <= _VMEM_BUDGET
+    factor = 2 if H > 512 else 1  # wide-gate calibration, see _pick_tt
+    return factor * (per_t + temps) <= _VMEM_BUDGET
 
 
 def _pad_time(x, Tp):
@@ -192,13 +208,29 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
             c_prev = jnp.where(not_first, cp.astype(jnp.float32), 0.0)
             tanh_c = jnp.tanh(c_t)
 
-            dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
-            dh_new = mf * dh_total
-            dh_prev_direct = (1.0 - mf) * dh_total
-            do = dh_new * tanh_c
-            dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
-            dc_total = mf * dc + dc_from_h
-            dc_prev_direct = (1.0 - mf) * dc
+            if _BWD_V2:
+                # Shared-subexpression form (measured attempt at the
+                # VPU gate-math gap, DESIGN.md §4): with mf in {0,1},
+                # mf*(dh + mf*gout) == mf*dh + mf*gout and
+                # (1-mf)*x == x - mf*x, so factoring a=mf*dh, b=mf*dc
+                # drops three VPU multiplies per step and the (1-mf)
+                # materialization.
+                a = mf * dh
+                dh_new = a + mf * gout_ref[d, j].astype(jnp.float32)
+                dh_prev_direct = dh - a
+                b_c = mf * dc
+                do = dh_new * tanh_c
+                dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
+                dc_total = b_c + dc_from_h
+                dc_prev_direct = dc - b_c
+            else:
+                dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
+                dh_new = mf * dh_total
+                dh_prev_direct = (1.0 - mf) * dh_total
+                do = dh_new * tanh_c
+                dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
+                dc_total = mf * dc + dc_from_h
+                dc_prev_direct = (1.0 - mf) * dc
             df = dc_total * c_prev
             di = dc_total * gg
             dg = dc_total * gi
