@@ -83,8 +83,11 @@ def make_synth_batch(cfg, batch, seconds, rng):
     S = int(seconds * sr)
     U = max(16, int(seconds * 12))
     vocab = build_vocabulary(64)
-    # leave headroom: rendering is ~0.09 s/char with jittered envelopes
-    max_chars = min(U, int(seconds / 0.09) - 4)
+    # leave headroom: rendering is ~0.09 s/char with jittered envelopes;
+    # clamp so sub-second --seconds still yields non-empty transcripts
+    # (ADVICE r2: int(seconds/0.09)-4 goes non-positive below ~0.6 s,
+    # which would silently degenerate the trained-posterior RTF rung)
+    max_chars = min(U, max(4, int(seconds / 0.09) - 4))
     samples = np.zeros((batch, S), np.float32)
     slens = np.empty((batch,), np.int32)
     labels = np.zeros((batch, U), np.int32)

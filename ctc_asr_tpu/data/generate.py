@@ -68,17 +68,33 @@ def _converter() -> list | None:
 
 
 def convert_audio(src: str, dst: str, sr: int = 16000) -> None:
-    """Any supported audio file -> 16 kHz mono wav at ``dst``."""
+    """Any supported audio file -> 16 kHz mono wav at ``dst``.
+
+    wav and FLAC decode first-party (FLAC via the native decoder,
+    native/flac_decode.cc — LibriSpeech needs no external tools);
+    other formats (mp3/sph) fall back to ffmpeg/sox when on PATH.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
     if src.lower().endswith(".wav"):
         samples, _ = audio_mod.read_wav(src, sr)
         audio_mod.write_wav(dst, samples, sr)
         return
+    if src.lower().endswith(".flac"):
+        from . import native_io
+        if native_io.available():
+            n, file_sr = native_io.wav_info(src)
+            out, lens, rates = native_io.decode_batch([src], n)
+            if lens[0] == n and n > 0:
+                samples = out[0]
+                if file_sr != sr:
+                    samples = audio_mod.resample(samples, file_sr, sr)
+                audio_mod.write_wav(dst, samples, sr)
+                return
     tmpl = _converter()
     if tmpl is None:
         raise RuntimeError(
             f"cannot convert {src!r}: no ffmpeg/sox on PATH and input is "
-            "not wav")
+            "not wav/flac (or native decode failed)")
     cmd = [a.format(src=src, dst=dst) for a in tmpl]
     subprocess.run(cmd, check=True, capture_output=True)
 

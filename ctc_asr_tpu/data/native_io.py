@@ -27,10 +27,12 @@ _build_failed = False
 
 def _ensure_built() -> bool:
     global _build_failed
-    src = os.path.join(_NATIVE_DIR, "ctcasr_io.cc")
+    srcs = [os.path.join(_NATIVE_DIR, f)
+            for f in ("ctcasr_io.cc", "flac_decode.cc", "flac_decode.h")]
     have_so = os.path.exists(_SO_PATH)
-    if have_so and (not os.path.exists(src) or
-                    os.path.getmtime(src) <= os.path.getmtime(_SO_PATH)):
+    if have_so and all(not os.path.exists(s) or
+                       os.path.getmtime(s) <= os.path.getmtime(_SO_PATH)
+                       for s in srcs):
         return True  # up-to-date, or deployed without sources
     if _build_failed:
         return have_so  # stale-but-working .so beats scipy fallback

@@ -89,7 +89,12 @@ def make_nbest_decoder(cfg: Config):
                 return_nbest=True, max_decode_len=max_dec)
         return ids[:, :K], lens[:, :K], scores[:, :K]
 
-    score_cache: dict = {}  # text -> word-LM log-prob, lives across batches
+    # text -> word-LM log-prob, lives across batches. Bounded (ADVICE
+    # r2): one entry per unique hypothesis string would otherwise grow
+    # without limit over a large corpus; cross-batch hits come mostly
+    # from recent/short hypotheses, so a flush loses little.
+    score_cache: dict = {}
+    _SCORE_CACHE_MAX = 200_000
 
     def pick_best(ids, lens, scores):
         """Host: rescore each utterance's N-best, return (ids, lens).
@@ -99,6 +104,8 @@ def make_nbest_decoder(cfg: Config):
         scored once, and the word-LM stats are precomputed, so this
         stays within ~2x of the acoustic-beam RTF instead of the
         round-1 10-30x cliff."""
+        if len(score_cache) > _SCORE_CACHE_MAX:
+            score_cache.clear()
         ids, lens, scores = (np.asarray(ids), np.asarray(lens),
                              np.asarray(scores))
         B, K = ids.shape[0], ids.shape[1]

@@ -13,10 +13,15 @@
 //                       out_rates, n_threads) -> 0 on success
 //   ctcasr_wav_info(path, &n_samples, &sample_rate) -> 0 on success
 //
-// Supported wav encodings: PCM 8/16/24/32-bit int and 32-bit float,
-// any channel count (averaged to mono). Resampling stays in Python
-// (scipy polyphase) — corpora are pre-converted to 16 kHz by
-// data/generate.py, so the hot path never resamples.
+// Supported inputs (dispatched on magic bytes, extension ignored):
+//   - RIFF/WAVE: PCM 8/16/24/32-bit int and 32-bit float, any channel
+//     count (averaged to mono);
+//   - FLAC (first-party subset decoder, flac_decode.cc) — LibriSpeech
+//     ships as 16-bit 16 kHz FLAC, so manifests can point straight at
+//     .flac with no external converter (no ffmpeg/sox dependency).
+// Resampling stays in Python (scipy polyphase) — corpora are
+// pre-converted to 16 kHz by data/generate.py, so the hot path never
+// resamples.
 
 #include <atomic>
 #include <cstdint>
@@ -25,6 +30,8 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#include "flac_decode.h"
 
 namespace {
 
@@ -43,26 +50,12 @@ uint16_t rd_u16(const uint8_t* p) {
   return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
 }
 
-// Parse a RIFF/WAVE file fully into mono float32.
-WavData decode_wav(const char* path, int64_t max_samples) {
+// Parse an in-memory RIFF/WAVE stream fully into mono float32.
+WavData decode_wav_buffer(const std::vector<uint8_t>& buf,
+                          int64_t max_samples) {
   WavData out;
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return out;
-  std::fseek(f, 0, SEEK_END);
-  long fsize = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  if (fsize < 44) {
-    std::fclose(f);
-    return out;
-  }
-  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
-  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
-    std::fclose(f);
-    return out;
-  }
-  std::fclose(f);
-
   const uint8_t* p = buf.data();
+  if (buf.size() < 44) return out;
   if (std::memcmp(p, "RIFF", 4) != 0 || std::memcmp(p + 8, "WAVE", 4) != 0)
     return out;
 
@@ -143,6 +136,38 @@ WavData decode_wav(const char* path, int64_t max_samples) {
   return out;
 }
 
+// Read a file and dispatch on magic bytes: RIFF/WAVE -> wav parser,
+// fLaC -> first-party FLAC decoder (flac_decode.cc). Extension is
+// ignored — LibriSpeech-shaped manifests can point straight at .flac
+// files with no external converter in the pipeline.
+WavData decode_audio(const char* path, int64_t max_samples) {
+  WavData out;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return out;
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize < 4) {
+    std::fclose(f);
+    return out;
+  }
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return out;
+  }
+  std::fclose(f);
+
+  if (std::memcmp(buf.data(), "fLaC", 4) == 0) {
+    FlacData fd = flac_decode_buffer(buf.data(), buf.size(), max_samples);
+    out.samples = std::move(fd.samples);
+    out.sample_rate = fd.sample_rate;
+    out.ok = fd.ok;
+    return out;
+  }
+  return decode_wav_buffer(buf, max_samples);
+}
+
 }  // namespace
 
 extern "C" {
@@ -159,7 +184,7 @@ int ctcasr_decode_batch(const char** paths, int n, int64_t max_samples,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      WavData w = decode_wav(paths[i], max_samples);
+      WavData w = decode_audio(paths[i], max_samples);
       float* dst = out + static_cast<int64_t>(i) * max_samples;
       std::memset(dst, 0, sizeof(float) * static_cast<size_t>(max_samples));
       if (!w.ok) {
@@ -186,7 +211,7 @@ int ctcasr_decode_batch(const char** paths, int n, int64_t max_samples,
 // Probe: sample count + rate.
 int ctcasr_wav_info(const char* path, int64_t* n_samples,
                     int32_t* sample_rate) {
-  WavData full = decode_wav(path, 0);
+  WavData full = decode_audio(path, 0);
   if (!full.ok) return 1;
   *n_samples = static_cast<int64_t>(full.samples.size());
   *sample_rate = full.sample_rate;

@@ -94,6 +94,16 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps-scale", type=float, default=1.0)
     ap.add_argument("--lm-weights", default="0.2,0.4,0.6")
+    ap.add_argument("--specaug-ab", action="store_true",
+                    help="re-train the ds2 rung with SpecAugment at "
+                         "equal steps (VERDICT r2 next #5: first corpus "
+                         "with noise/held-out speakers where it can "
+                         "show a delta)")
+    ap.add_argument("--archive", default=None,
+                    help="directory (e.g. docs/results/ladder_hard_r3) "
+                         "to copy ladder_results.jsonl + per-rung loss "
+                         "curves into, so results live in the repo, "
+                         "not /tmp (VERDICT r2 missing #2)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     man = get_corpus(args.out, args)
@@ -112,29 +122,36 @@ def main():
 
     sc = args.steps_scale
 
+    def train_and_eval(cfg, rung, decode_name):
+        """Train, then eval DEV + TEST (dev gives the generalization
+        context VERDICT r2 weak #4 asked for; single-point test WER
+        alone cannot distinguish model limit from step budget)."""
+        t0 = time.time()
+        state = train(cfg)
+        wall = round(time.time() - t0, 1)
+        rd = eval_split(cfg, state["params"], man["dev"], log_samples=0)
+        r = eval_split(cfg, state["params"], man["test"])
+        emit({"rung": rung, "decode": decode_name,
+              "steps": int(state["step"]), "train_wall_s": wall,
+              "dev_wer": round(rd["wer"], 4),
+              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              "rtf": round(r["rtf"], 5)})
+        return state
+
     if "pr1" in rungs:
         cfg = rung_cfg("pr1_mfcc_uni", man, args.out, "pr1",
                        int(2500 * sc), args.batch, 5e-4)
-        t0 = time.time()
-        state = train(cfg)
-        r = eval_split(cfg, state["params"], man["test"])
-        emit({"rung": "pr1_mfcc_uni", "decode": "greedy",
-              "steps": int(state["step"]),
-              "train_wall_s": round(time.time() - t0, 1),
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
-              "rtf": round(r["rtf"], 5)})
+        train_and_eval(cfg, "pr1_mfcc_uni", "greedy")
 
     if "ds2" in rungs:
         cfg = rung_cfg("conv_bilstm3", man, args.out, "ds2",
                        int(2000 * sc), args.batch, 5e-4)
-        t0 = time.time()
-        state = train(cfg)
-        r = eval_split(cfg, state["params"], man["test"])
-        emit({"rung": "conv_bilstm3", "decode": "greedy",
-              "steps": int(state["step"]),
-              "train_wall_s": round(time.time() - t0, 1),
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
-              "rtf": round(r["rtf"], 5)})
+        train_and_eval(cfg, "conv_bilstm3", "greedy")
+        if args.specaug_ab:
+            sa = dc.replace(cfg, train=dc.replace(
+                cfg.train, specaugment=True,
+                train_dir=os.path.join(args.out, "train_ds2_specaug")))
+            train_and_eval(sa, "conv_bilstm3+specaug", "greedy")
 
     if "ds3" in rungs:
         # one training run serves the beam, +charLM, and +wordLM rungs
@@ -179,16 +196,32 @@ def main():
               "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
               "rtf": round(r["rtf"], 5)})
 
-        # + word-LM N-best rescoring on top of the fused beam
+        # + word-LM N-best rescoring on top of the fused beam. Run the
+        # eval TWICE: the second pass hits the warm jit cache from the
+        # first, so its RTF is the honest steady-state rescore number
+        # (VERDICT r2 next #4 — replace the compile-dominated 0.384).
         wcfg = dc.replace(lcfg, decode=dc.replace(
             lcfg.decode, word_lm_path=word_lm_path))
         r = eval_split(wcfg, params, man["test"], log_samples=0)
+        r2 = eval_split(wcfg, params, man["test"], log_samples=0)
         emit({"rung": "lm_fusion+rescore",
               "decode": f"beam64+charlm(w={best_w})+wordlm",
               "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
-              "rtf": round(r["rtf"], 5)})
+              "rtf": round(r["rtf"], 5),
+              "rtf_steady2": round(r2["rtf_incl_compile"], 5)})
 
     print(json.dumps({"ladder": results}))
+
+    if args.archive:
+        import shutil
+        os.makedirs(args.archive, exist_ok=True)
+        shutil.copy(results_path, args.archive)
+        for d in sorted(os.listdir(args.out)):
+            mj = os.path.join(args.out, d, "metrics.jsonl")
+            if d.startswith("train_") and os.path.exists(mj):
+                shutil.copy(mj, os.path.join(args.archive,
+                                             f"{d}_metrics.jsonl"))
+        print(f"[ladder] archived results to {args.archive}", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def decode_scaling(args):
+    """Weak-scaling of the batch-sharded distributed beam decoder:
+    per-device batch held constant, devices 1..N, beam width fixed.
+    Random peaked posteriors (the decode cost is shape-, not
+    content-determined). On the virtual CPU mesh the absolute numbers
+    are host-saturation-bounded — the point is the EFFICIENCY curve of
+    the sharded decode path (each device's beam state stays on-device;
+    the only cross-device op is the output gather)."""
+    import jax
+    from ctc_asr_tpu.config import Config, DecodeConfig, MeshConfig
+    from ctc_asr_tpu.parallel.dist import make_distributed_beam_decoder
+    from ctc_asr_tpu.parallel.mesh import build_mesh
+
+    devices = jax.devices()
+    rng = np.random.default_rng(0)
+    C = 29
+    T = max(8, int(args.seconds * 100))  # 10 ms hop
+    sizes = []
+    n = 1
+    while n <= len(devices):
+        sizes.append(n)
+        n *= 2
+    results, base_tput = [], None
+    for n in sizes:
+        cfg = Config(decode=DecodeConfig(beam_width=args.beam),
+                     mesh=MeshConfig(model_axis=1))
+        mesh = build_mesh(cfg.mesh, devices=devices[:n])
+        B = args.per_device_batch * n
+        # peaked posteriors so the beam's merge path does real work
+        logits = rng.standard_normal((B, T, C)).astype(np.float32) * 3.0
+        lens = np.full((B,), T, np.int32)
+        dec = make_distributed_beam_decoder(cfg, mesh)
+        ids, out_lens = dec(logits, lens)
+        np.asarray(ids)  # compile + barrier
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            ids, out_lens = dec(logits, lens)
+        np.asarray(ids)
+        dt = (time.perf_counter() - t0) / args.steps
+        audio_s = B * args.seconds
+        tput = audio_s / dt
+        if base_tput is None:
+            base_tput = tput
+        eff = tput / (base_tput * n)
+        results.append({"devices": n, "batch": B, "beam": args.beam,
+                        "decode_ms": round(dt * 1000, 2),
+                        "audio_s_per_s": round(tput, 2),
+                        "rtf": round(dt / audio_s, 5),
+                        "efficiency_vs_linear": round(eff, 3)})
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"decode_scaling": results}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=2)
@@ -30,7 +83,16 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--model-axis", type=int, default=1)
+    ap.add_argument("--mode", choices=("train", "decode"), default="train",
+                    help="decode: weak-scale the batch-sharded beam-64 "
+                         "decoder (BASELINE.json:11 distributed-decode "
+                         "rung; VERDICT r2 next #8) instead of the "
+                         "train step")
+    ap.add_argument("--beam", type=int, default=64)
     args = ap.parse_args()
+
+    if args.mode == "decode":
+        return decode_scaling(args)
 
     import jax
     import jax.numpy as jnp
