@@ -1,0 +1,245 @@
+"""Sequence (time-axis) parallelism for very long audio.
+
+SURVEY.md §5 "Long-context / sequence parallelism" and §2c row SP/CP:
+the reference has none (it FILTERS long utterances at data-prep time);
+length-bucketed padding remains this framework's primary mechanism and
+is sufficient for WER parity. This module supplies the optional
+capability for audio that exceeds a single chip's activation memory:
+shard the TIME axis of the frontend and encoder over a mesh axis
+('seq'), exchanging only boundary state over ICI.
+
+Design (and honest cost accounting):
+
+- **Frontend (STFT/mel/MFCC + normalization) — embarrassingly
+  parallel.** Each device holds a contiguous sample chunk (a multiple
+  of the hop) plus a (win - hop)-sample halo fetched from its right
+  neighbour with ONE `lax.ppermute`; framing a chunk extended by the
+  halo yields exactly chunk/hop frames, so the sharded frame axis
+  tiles the global one with no overlap and no gaps. Per-utterance
+  normalization needs global masked moments — two scalars per (row,
+  feature) `psum`ed over 'seq'. Exact vs the unsharded pipeline
+  (tests/test_seqpar.py, virtual mesh).
+
+- **(Bi)RNN — wavefront with boundary-state exchange.** The LSTM/GRU
+  recurrence is order-1 sequential in time, so time shards cannot
+  compute concurrently for the SAME utterance; what CAN be removed is
+  the memory: each device materializes only its [T/n, B, *] activation
+  slab. The forward direction runs n stages: at stage s device s's
+  chunk scan is the valid one and its final (h, c) rides a `ppermute`
+  to device s+1; the backward direction wavefronts in reverse. Wall
+  time for the recurrence is ~n x a single chunk (i.e. ~1x the
+  unsharded recurrence) while the heavy time-parallel work — the
+  input-projection matmuls feeding the cell, and everything outside
+  the RNN — stays fully sharded. This is the standard trade for exact
+  long-sequence recurrence (cf. ring patterns in
+  boom_attention_tricks.md: CP shards activations, the sequential
+  dependency is paid in latency, not memory).
+
+All functions here are pure and run INSIDE `shard_map` over a mesh
+with a 'seq' axis; `make_sp_feature_fn` / `make_sp_birnn_fn` wrap them
+for callers. Kernels: the frontend uses the jnp twin (per-device Pallas
+is a drop-in later — same shard_map-island pattern as dist.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import features as feat_mod
+from ..config import FeatureConfig
+
+
+# ---------------------------------------------------------------------------
+# Frontend
+# ---------------------------------------------------------------------------
+
+def _sp_features_local(samples_loc, sample_lengths, cfg: FeatureConfig,
+                       axis: str, n_shards: int):
+    """Per-device body: [B, S/n] local chunk -> [B, S/(n*hop), F] local
+    frames, normalized with GLOBAL statistics. sample_lengths is the
+    replicated global [B] vector."""
+    if samples_loc.dtype == jnp.int16:
+        from ..audio import WIRE_SCALE
+        samples_loc = samples_loc.astype(jnp.float32) * (1.0 / WIRE_SCALE)
+    B, Cs = samples_loc.shape
+    hop, win = cfg.hop_length, cfg.win_length
+    if Cs % hop != 0:
+        raise ValueError(f"chunk size {Cs} must be a hop multiple ({hop})")
+    halo = win - hop
+    d = lax.axis_index(axis)
+
+    # right-halo: first (win-hop) samples of the next chunk; the last
+    # device receives zeros (ppermute's unaddressed-destination value),
+    # which is correct — its trailing frames start past the last valid
+    # frame and are masked by frame_lengths downstream.
+    if halo > 0:
+        halo_samples = lax.ppermute(
+            samples_loc[:, :halo], axis,
+            perm=[(i, i - 1) for i in range(1, n_shards)])
+        ext = jnp.concatenate([samples_loc, halo_samples], axis=1)
+    else:
+        ext = samples_loc
+    # num_frames(Cs + win - hop) == Cs/hop: the local frame axis tiles
+    # the global one exactly.
+    feats = feat_mod._jnp_features(ext, cfg)        # [B, Tc, F]
+    Tc = feats.shape[1]
+
+    flens = feat_mod.frame_lengths_from_sample_lengths(sample_lengths, cfg)
+    gidx = d * Tc + jnp.arange(Tc)[None, :]          # [1, Tc] global t
+    mask = (gidx < flens[:, None])                   # [B, Tc]
+    maskf = mask[..., None].astype(feats.dtype)
+
+    mode = cfg.normalization
+    if mode == "none":
+        out = feats * maskf
+    elif mode == "utterance":
+        n_valid = jnp.maximum(flens.astype(feats.dtype), 1.0)[:, None, None]
+        s1 = lax.psum(jnp.sum(feats * maskf, axis=1, keepdims=True), axis)
+        mean = s1 / n_valid
+        s2 = lax.psum(jnp.sum(jnp.square(feats - mean) * maskf, axis=1,
+                              keepdims=True), axis)
+        var = s2 / n_valid
+        out = (feats - mean) * lax.rsqrt(var + 1e-8) * maskf
+    elif mode == "global":
+        stats = feat_mod._load_stats(cfg.stats_path) \
+            if cfg.stats_path else None
+        if stats is not None:
+            mean = jnp.asarray(stats[0]).reshape(1, 1, -1)
+            var = jnp.asarray(stats[1]).reshape(1, 1, -1)
+        else:
+            total = lax.psum(jnp.sum(maskf), axis)
+            mean = lax.psum(jnp.sum(feats * maskf, axis=(0, 1),
+                                    keepdims=True), axis) / total
+            var = lax.psum(jnp.sum(jnp.square(feats - mean) * maskf,
+                                   axis=(0, 1), keepdims=True),
+                           axis) / total
+        out = (feats - mean) * lax.rsqrt(var + 1e-8) * maskf
+    else:
+        raise ValueError(f"unknown normalization mode {mode!r}")
+    return out, flens
+
+
+def make_sp_feature_fn(cfg: FeatureConfig, mesh: Mesh, axis: str = "seq"):
+    """jitted ([B, S] sharded over 'seq' on S, [B] replicated) ->
+    ([B, ceil(S/hop), F] sharded over 'seq' on the frame axis, [B]
+    replicated frame lengths). The sharded frame axis has S/hop rows —
+    slightly more than the unsharded pipeline's 1+(S-win)/hop; rows
+    beyond the returned frame lengths are zero."""
+    n = mesh.shape[axis]
+
+    body = functools.partial(_sp_features_local, cfg=cfg, axis=axis,
+                             n_shards=n)
+    sharded = shard_map(
+        body, mesh=mesh, axis_names={axis},
+        in_specs=(P(None, axis), P()),
+        out_specs=(P(None, axis, None), P()), check_vma=False)
+    samp_sh = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(sharded, in_shardings=(samp_sh, rep),
+                   out_shardings=(NamedSharding(mesh, P(None, axis, None)),
+                                  rep))
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (bi)LSTM over time shards
+# ---------------------------------------------------------------------------
+
+def _lstm_chunk_scan(params, x_loc, h0, c0, valid):
+    """Plain masked LSTM scan over a LOCAL [Tc, B, F] chunk from an
+    incoming carry. ``valid``: [Tc, B] bool — whether the GLOBAL step
+    is inside the row's [start, end) window (masked steps carry state
+    through and emit zeros, matching models/rnn.py semantics)."""
+    wx, wh, b = params["wx"], params["wh"], params["b"]
+    H = wh.shape[0]
+    xproj = x_loc @ wx + b                            # [Tc, B, 4H]
+
+    def step(carry, inp):
+        h, c = carry
+        xp, m = inp
+        gates = xp + h @ wh
+        gi = jax.nn.sigmoid(gates[..., 0 * H:1 * H])
+        gf = jax.nn.sigmoid(gates[..., 1 * H:2 * H])
+        gg = jnp.tanh(gates[..., 2 * H:3 * H])
+        go = jax.nn.sigmoid(gates[..., 3 * H:4 * H])
+        c_new = gf * c + gi * gg
+        h_new = go * jnp.tanh(c_new)
+        mf = m[:, None].astype(h.dtype)
+        c = mf * c_new + (1.0 - mf) * c
+        h = mf * h_new + (1.0 - mf) * h
+        return (h, c), h * mf
+
+    (hT, cT), out = lax.scan(step, (h0, c0), (xproj, valid))
+    return out, hT, cT
+
+
+def _sp_bilstm_local(x_loc, lengths, params_fwd, params_bwd,
+                     axis: str, n_shards: int):
+    """Per-device wavefront BiLSTM body.
+
+    x_loc: [Tc, B, F] local time chunk (global T = n * Tc);
+    lengths: [B] replicated. Returns the local [Tc, B, 2H] output
+    chunk. Runs n_shards local scans per direction (each device's
+    chunk result is valid at exactly one stage; boundary (h, c) rides
+    a ppermute between stages) — latency matches the unsharded
+    recurrence while activations stay sharded at [Tc, ...]."""
+    Tc, B, _ = x_loc.shape
+    H = params_fwd["wh"].shape[0]
+    d = lax.axis_index(axis)
+    t_loc = jnp.arange(Tc)[:, None]                   # [Tc, 1]
+    gidx = d * Tc + t_loc                             # global step idx
+    valid = gidx < lengths[None, :]                   # [Tc, B]
+
+    fwd_perm = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n_shards)]
+
+    def wavefront(params, x_dir, valid_dir, perm, stage_of_device):
+        h = jnp.zeros((B, H), x_loc.dtype)
+        c = jnp.zeros((B, H), x_loc.dtype)
+        out = jnp.zeros((Tc, B, H), x_loc.dtype)
+        for s in range(n_shards):
+            o_s, hT, cT = _lstm_chunk_scan(params, x_dir, h, c, valid_dir)
+            keep = (stage_of_device == s)
+            out = jnp.where(keep, o_s, out)
+            if s < n_shards - 1:
+                h = lax.ppermute(hT, axis, perm=perm)
+                c = lax.ppermute(cT, axis, perm=perm)
+        return out
+
+    # forward direction: wavefront d = 0, 1, ..., n-1
+    out_f = wavefront(params_fwd, x_loc, valid, fwd_perm, d)
+    # backward direction: reverse time within the chunk and wavefront
+    # from the LAST device; reversing [Tc] locally + visiting chunks in
+    # reverse order IS the global time reversal.
+    x_r = x_loc[::-1]
+    valid_r = valid[::-1]
+    out_b_r = wavefront(params_bwd, x_r, valid_r, bwd_perm,
+                        (n_shards - 1) - d)
+    out_b = out_b_r[::-1]
+    return jnp.concatenate([out_f, out_b], axis=-1)   # [Tc, B, 2H]
+
+
+def make_sp_birnn_fn(params: dict, mesh: Mesh, axis: str = "seq"):
+    """jitted ([T, B, F] sharded over 'seq' on T, [B] replicated) ->
+    [T, B, 2H] sharded over 'seq' on T. ``params``: {'fwd': lstm
+    params, 'bwd': lstm params} as models/rnn.lstm_init builds them.
+    Exact-numerics parity with models/rnn.birnn_apply is asserted in
+    tests/test_seqpar.py."""
+    n = mesh.shape[axis]
+    body = functools.partial(_sp_bilstm_local, axis=axis, n_shards=n)
+    sharded = shard_map(
+        lambda x, l, pf, pb: body(x, l, pf, pb),
+        mesh=mesh, axis_names={axis},
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(axis), check_vma=False)
+    x_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda x, lengths: sharded(x, lengths, params["fwd"],
+                                   params["bwd"]),
+        in_shardings=(x_sh, rep), out_shardings=x_sh)

@@ -1,0 +1,108 @@
+"""Sequence-parallel (time-axis sharding) parity tests — SURVEY.md §5
+"long-context / SP" optional capability, built in parallel/seqpar.py.
+
+Exactness is the whole contract here: the sharded frontend must equal
+the unsharded pipeline bit-for-near-bit (same math, different device
+layout + halo exchange + psum moments), and the wavefront BiLSTM must
+equal models/rnn.birnn_apply. Runs on the virtual 8-device CPU mesh
+(conftest)."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ctc_asr_tpu.config import FeatureConfig
+from ctc_asr_tpu import features as feat_mod
+from ctc_asr_tpu.models.rnn import birnn_apply, lstm_init
+from ctc_asr_tpu.parallel import seqpar
+
+
+def _seq_mesh(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.array(devs[:n]), ("seq",))
+
+
+@pytest.mark.parametrize("norm", ["utterance", "none", "global"])
+def test_sp_features_match_unsharded(norm):
+    n = 4
+    mesh = _seq_mesh(n)
+    cfg = FeatureConfig(use_pallas=False, normalization=norm)
+    hop, win = cfg.hop_length, cfg.win_length
+    S = n * 10 * hop                      # chunk = 10 hops per device
+    B = 3
+    rng = np.random.default_rng(0)
+    samples = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32)
+                          * 0.2)
+    slens = jnp.asarray([S, S - 3 * hop - 17, 2 * win], jnp.int32)
+
+    ref_feats, ref_flens = feat_mod.extract_features(samples, slens, cfg)
+    sp_fn = seqpar.make_sp_feature_fn(cfg, mesh)
+    sp_feats, sp_flens = sp_fn(samples, slens)
+    sp_feats, sp_flens = np.asarray(sp_feats), np.asarray(sp_flens)
+
+    np.testing.assert_array_equal(sp_flens, np.asarray(ref_flens))
+    T_ref = ref_feats.shape[1]
+    assert sp_feats.shape[1] >= T_ref     # S/hop >= 1+(S-win)/hop
+    np.testing.assert_allclose(sp_feats[:, :T_ref], np.asarray(ref_feats),
+                               rtol=2e-5, atol=2e-5)
+    # frames past every row's frame length are exactly zero
+    for b in range(B):
+        assert np.all(sp_feats[b, sp_flens[b]:] == 0.0)
+
+
+def test_sp_features_int16_wire():
+    n = 2
+    mesh = _seq_mesh(n)
+    cfg = FeatureConfig(use_pallas=False)
+    S = n * 8 * cfg.hop_length
+    rng = np.random.default_rng(1)
+    wire = jnp.asarray(
+        (rng.standard_normal((2, S)) * 3000).astype(np.int16))
+    slens = jnp.asarray([S, S // 2], jnp.int32)
+    ref_feats, _ = feat_mod.extract_features(wire, slens, cfg)
+    sp_feats, _ = seqpar.make_sp_feature_fn(cfg, mesh)(wire, slens)
+    T_ref = ref_feats.shape[1]
+    np.testing.assert_allclose(np.asarray(sp_feats)[:, :T_ref],
+                               np.asarray(ref_feats), rtol=2e-5,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("n,lens", [
+    (4, [24, 17, 5]),
+    (8, [24, 24, 1]),
+])
+def test_sp_bilstm_matches_birnn(n, lens):
+    mesh = _seq_mesh(n)
+    T, B, F, H = 24, 3, 5, 8
+    params = {"fwd": lstm_init(jax.random.PRNGKey(0), F, H),
+              "bwd": lstm_init(jax.random.PRNGKey(1), F, H)}
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, B, F))
+    lengths = jnp.asarray(lens, jnp.int32)
+
+    want = np.asarray(birnn_apply(params, x, lengths, "lstm",
+                                  jnp.float32))
+    sp_fn = seqpar.make_sp_birnn_fn(params, mesh)
+    got = np.asarray(sp_fn(x, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_bilstm_output_sharded():
+    """The output really is laid out over the 'seq' axis (memory-
+    scaling is the point of SP: each device holds [T/n, ...])."""
+    n = 4
+    mesh = _seq_mesh(n)
+    T, B, F, H = 16, 2, 4, 8
+    params = {"fwd": lstm_init(jax.random.PRNGKey(0), F, H),
+              "bwd": lstm_init(jax.random.PRNGKey(1), F, H)}
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
+    out = seqpar.make_sp_birnn_fn(params, mesh)(
+        x, jnp.full((B,), T, jnp.int32))
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(T // n, B, 2 * H)}
