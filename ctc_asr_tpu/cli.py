@@ -177,9 +177,14 @@ def cmd_prepare_librispeech(argv):
                         "train-clean-100/)")
     p.add_argument("--out", required=True)
     p.add_argument("--subsets", nargs="*", default=None)
+    p.add_argument("--no-convert", action="store_true",
+                   help="manifest points straight at the original "
+                        ".flac files (native decoder reads them in "
+                        "the loader; no wav copies on disk)")
     args = p.parse_args(argv)
     from .data.generate import prepare_librispeech
-    for path in prepare_librispeech(args.root, args.out, args.subsets):
+    for path in prepare_librispeech(args.root, args.out, args.subsets,
+                                    convert=not args.no_convert):
         print(path)
     return 0
 

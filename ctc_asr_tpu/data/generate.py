@@ -131,22 +131,46 @@ def iter_librispeech_transcripts(subset_dir: str):
 
 
 def prepare_librispeech(root: str, out_dir: str,
-                        subsets: list | None = None) -> list:
-    """Convert LibriSpeech subsets under ``root``; returns manifest paths."""
+                        subsets: list | None = None,
+                        convert: bool = True) -> list:
+    """Build LibriSpeech manifests under ``root``; returns manifest paths.
+
+    ``convert=True`` (default) transcodes each .flac to 16 kHz mono wav
+    under ``out_dir`` (first-party FLAC decode, native/flac_decode.cc).
+    ``convert=False`` points the manifest straight at the original
+    .flac files — no disk duplication and no conversion pass; the
+    loader's native batch decoder handles FLAC transparently (the
+    scipy fallback does not, so this mode requires the native lib —
+    checked here with a clear error)."""
     subsets = subsets or [d for d in sorted(os.listdir(root))
                           if os.path.isdir(os.path.join(root, d))]
+    if not convert:
+        from . import native_io
+        if not native_io.available():
+            raise RuntimeError(
+                "prepare_librispeech(convert=False) needs the native "
+                "decoder (direct-.flac manifests); build native/ or "
+                "use convert=True")
     out_paths = []
     for subset in subsets:
         sdir = os.path.join(root, subset)
         wav_dir = os.path.join(out_dir, subset, "wav")
         utts = []
         for utt_id, ap, transcript in iter_librispeech_transcripts(sdir):
-            dst = os.path.join(wav_dir, utt_id + ".wav")
-            if not os.path.exists(dst):
-                convert_audio(ap, dst)
+            if convert:
+                dst = os.path.join(wav_dir, utt_id + ".wav")
+                if not os.path.exists(dst):
+                    convert_audio(ap, dst)
+                dur = audio_mod.duration_seconds(dst)
+            else:
+                from . import native_io
+                dst = ap
+                n, sr = native_io.wav_info(ap)
+                if sr <= 0:
+                    raise RuntimeError(f"cannot decode {ap!r}")
+                dur = n / float(sr)
             utts.append(Utterance(
-                dst, audio_mod.duration_seconds(dst),
-                text_mod.normalize_transcript(transcript)))
+                dst, dur, text_mod.normalize_transcript(transcript)))
         out_paths.append(_finalize(
             utts, os.path.join(out_dir, f"{subset}.csv")))
     return out_paths

@@ -171,3 +171,39 @@ def test_librispeech_flac_pipeline(tmp_path):
     # decoded audio is finite, non-silent
     assert np.isfinite(batch.samples).all()
     assert np.abs(batch.samples.astype(np.float32)).max() > 1.0
+
+
+@needs_native
+def test_librispeech_direct_flac_manifest(tmp_path):
+    """prepare-librispeech --no-convert: the manifest points at the
+    original .flac files (no wav copies); the loader's native batch
+    decoder reads them transparently."""
+    from ctc_asr_tpu.data.generate import prepare_librispeech
+    from ctc_asr_tpu.data import DataLoader, read_manifest
+    from ctc_asr_tpu.config import DataConfig, FeatureConfig
+
+    root = tmp_path / "LibriSpeech" / "test-clean"
+    d = root / "7-8"
+    os.makedirs(d)
+    with open(d / "7-8.trans.txt", "w") as f:
+        f.write("7-8-0000 DIRECT FLAC ROWS\n")
+    write_flac(str(d / "7-8-0000.flac"), _mono(24000, seed=9),
+               blocksize=4096, mode="lpc2")
+
+    man_paths = prepare_librispeech(str(tmp_path / "LibriSpeech"),
+                                    str(tmp_path / "out"),
+                                    subsets=["test-clean"], convert=False)
+    man = read_manifest(man_paths[0])
+    assert len(man) == 1
+    assert man[0].path.endswith(".flac")
+    assert abs(man[0].duration - 1.5) < 1e-3  # 24000 samples @ 16 kHz
+    # no wav copies were written
+    assert not os.path.exists(tmp_path / "out" / "test-clean" / "wav")
+
+    dcfg = DataConfig(batch_size=1, num_buckets=1,
+                      min_audio_seconds=0.1, max_audio_seconds=5.0)
+    loader = DataLoader(man, dcfg, FeatureConfig(use_pallas=False),
+                        drop_last=False)
+    batch = next(iter(loader.iter_epoch(0)))
+    assert batch.sample_lengths[0] == 24000
+    assert np.abs(batch.samples.astype(np.float32)).max() > 1.0
