@@ -70,15 +70,6 @@ TIME_BLOCK = 8
 _VMEM_BUDGET = 60 << 20
 _VMEM_LIMIT_BYTES = 100 << 20
 
-# A/B flag (VERDICT r1 next #7 / r2 next #3): shared-subexpression BPTT
-# gate backward. Now a function argument threaded into the kernel (both
-# branches run in CI via tests/test_lstm_pallas.py); the env var only
-# sets the DEFAULT so hardware A/B harnesses can flip it process-wide:
-#   CTC_ASR_LSTM_BWD_V2=1 python scripts/diag_vmem_envelope.py ...
-import os as _os
-_BWD_V2_DEFAULT = _os.environ.get("CTC_ASR_LSTM_BWD_V2", "0") == "1"
-
-
 def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     """Largest time block whose pipeline buffers fit the scoped budget.
 
@@ -210,8 +201,7 @@ def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
 def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
                 wh_ref, start_ref, end_ref,
                 dxproj_ref, db_ref,
-                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int,
-                bwd_v2: bool):
+                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int):
     """Grid (T/TT,) with index maps reversed. Within a block the BPTT
     chain runs j = TT-1 .. 0; c[t-1] comes from the same block (j-1) or
     from cprev (the block-(-1) view, clamped at 0 — the t==0
@@ -245,29 +235,19 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
             c_prev = jnp.where(not_first, cp.astype(jnp.float32), 0.0)
             tanh_c = jnp.tanh(c_t)
 
-            if bwd_v2:
-                # Shared-subexpression form (measured attempt at the
-                # VPU gate-math gap, DESIGN.md §4): with mf in {0,1},
-                # mf*(dh + mf*gout) == mf*dh + mf*gout and
-                # (1-mf)*x == x - mf*x, so factoring a=mf*dh, b=mf*dc
-                # drops three VPU multiplies per step and the (1-mf)
-                # materialization.
-                a = mf * dh
-                dh_new = a + mf * gout_ref[d, j].astype(jnp.float32)
-                dh_prev_direct = dh - a
-                b_c = mf * dc
-                do = dh_new * tanh_c
-                dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
-                dc_total = b_c + dc_from_h
-                dc_prev_direct = dc - b_c
-            else:
-                dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
-                dh_new = mf * dh_total
-                dh_prev_direct = (1.0 - mf) * dh_total
-                do = dh_new * tanh_c
-                dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
-                dc_total = mf * dc + dc_from_h
-                dc_prev_direct = (1.0 - mf) * dc
+            # A hand-factored "shared-subexpression" variant of this
+            # gate math (V2, VERDICT r1 #7) was A/B'd on hardware and
+            # DELETED: 5.055 vs 5.078 ms at B=128/H=512 and 3.460 vs
+            # 3.467 ms at B=32/H=800 — within 0.5%, far inside the ~5%
+            # run-to-run variance. Mosaic already CSEs these products;
+            # see DESIGN.md §4b.
+            dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
+            dh_new = mf * dh_total
+            dh_prev_direct = (1.0 - mf) * dh_total
+            do = dh_new * tanh_c
+            dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
+            dc_total = mf * dc + dc_from_h
+            dc_prev_direct = (1.0 - mf) * dc
             df = dc_total * c_prev
             di = dc_total * gg
             dg = dc_total * gi
@@ -338,17 +318,13 @@ def _run_fwd(xproj, b, wh, start, end, interpret):
     return h_seq, c_seq, gates
 
 
-def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret,
-             bwd_v2=None):
+def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
     """g_out/gates/c_seq are block-padded [nd, Tp, B, *]."""
-    if bwd_v2 is None:
-        bwd_v2 = _BWD_V2_DEFAULT
     nd, Tp, B, G = gates.shape
     H = wh.shape[1]
     TT = _pick_tt(nd, B, H, G, Tp)
     nblk = Tp // TT
-    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT,
-                               bwd_v2=bwd_v2)
+    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
     rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
     # block-(-1) view, clamped (kernel zeroes the t==0 contribution)
     revm1 = lambda it: (0, jnp.maximum(nblk - 2 - it, 0), 0, 0)  # noqa: E731

@@ -240,29 +240,3 @@ def test_pick_tt_never_exceeds_t():
     from ctc_asr_tpu.ops.lstm_pallas import _pick_tt
     assert _pick_tt(2, 8, 64, 256, 3) <= 3
     assert _pick_tt(1, 2, 8, 32, 1) == 1
-
-
-def test_bwd_v2_gradient_parity(monkeypatch):
-    """V1 vs V2 BPTT gate backward (shared-subexpression form) must
-    produce identical gradients — both branches compile and run in CI
-    as long as both exist (VERDICT r2 next #3). bwd_v2 is read at call
-    time from _BWD_V2_DEFAULT, so monkeypatching flips the kernel."""
-    from ctc_asr_tpu.ops import lstm_pallas
-    T, B, F, H = 21, 3, 4, 8   # multi-block (TT handling) + ragged lens
-    params = _params_bi(F, H, seed=3)
-    x = jax.random.normal(jax.random.PRNGKey(21), (T, B, F))
-    lengths = jnp.asarray([21, 13, 5])
-    w = jax.random.normal(jax.random.PRNGKey(22), (T, B, 2 * H))
-
-    def loss(p, xx):
-        return jnp.sum(birnn_apply(p, xx, lengths, "lstm", jnp.float32,
-                                   use_pallas=True, interpret=True) * w)
-
-    monkeypatch.setattr(lstm_pallas, "_BWD_V2_DEFAULT", False)
-    g1 = jax.grad(loss, argnums=(0, 1))(params, x)
-    monkeypatch.setattr(lstm_pallas, "_BWD_V2_DEFAULT", True)
-    g2 = jax.grad(loss, argnums=(0, 1))(params, x)
-    for a, b in zip(jax.tree_util.tree_leaves(g1),
-                    jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-6, atol=1e-6)
