@@ -328,14 +328,18 @@ def test_encoder_pair_path_parity(monkeypatch, rnn_type):
 
 
 def test_fused_rnn_vmem_envelope():
-    """Batches beyond the fused kernels' scoped-VMEM envelope must take
-    the scan path instead of failing to mosaic-compile (B=256/H=512
-    measured 20.6M vs the 16M limit on v5e)."""
+    """Geometries beyond the fused kernels' scoped-VMEM envelope must
+    take the scan path instead of failing to mosaic-compile. Under the
+    round-3 100M vmem_limit_bytes request (see lstm_pallas._pick_tt)
+    every single-chip-HBM-feasible geometry fits — incl. B=256/H=512,
+    which the old 16M default rejected — and the guard now only trips
+    for far-future giants."""
     from ctc_asr_tpu.ops.lstm_pallas import fused_fits
     assert fused_fits(2, 32, 512, 2048)
     assert fused_fits(2, 128, 512, 2048)
-    assert not fused_fits(2, 256, 512, 2048)
+    assert fused_fits(2, 256, 512, 2048)
     assert fused_fits(2, 16, 800, 3200)
+    assert not fused_fits(2, 512, 1024, 4096)
 
 
 @pytest.mark.parametrize("bidirectional", [False, True])
