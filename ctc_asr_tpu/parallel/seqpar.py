@@ -150,43 +150,75 @@ def make_sp_feature_fn(cfg: FeatureConfig, mesh: Mesh, axis: str = "seq"):
 # Wavefront (bi)LSTM over time shards
 # ---------------------------------------------------------------------------
 
-def _lstm_chunk_scan(params, x_loc, h0, c0, valid):
-    """Plain masked LSTM scan over a LOCAL [Tc, B, F] chunk from an
-    incoming carry. ``valid``: [Tc, B] bool — whether the GLOBAL step
-    is inside the row's [start, end) window (masked steps carry state
-    through and emit zeros, matching models/rnn.py semantics)."""
+def _chunk_scan(cell: str, params, x_loc, carry, valid):
+    """Masked cell scan over a LOCAL [Tc, B, F] chunk from an incoming
+    carry tuple. ``valid``: [Tc, B] bool — whether the GLOBAL step is
+    inside the row's [start, end) window (masked steps carry state
+    through and emit zeros, matching models/rnn.py semantics). Carry:
+    (h, c) for lstm, (h,) for gru/rnn. Gate orders match rnn.py:
+    LSTM i,f,g,o; GRU r,z,n."""
     wx, wh, b = params["wx"], params["wh"], params["b"]
     H = wh.shape[0]
-    xproj = x_loc @ wx + b                            # [Tc, B, 4H]
+    xproj = x_loc @ wx + b
 
-    def step(carry, inp):
-        h, c = carry
-        xp, m = inp
-        gates = xp + h @ wh
-        gi = jax.nn.sigmoid(gates[..., 0 * H:1 * H])
-        gf = jax.nn.sigmoid(gates[..., 1 * H:2 * H])
-        gg = jnp.tanh(gates[..., 2 * H:3 * H])
-        go = jax.nn.sigmoid(gates[..., 3 * H:4 * H])
-        c_new = gf * c + gi * gg
-        h_new = go * jnp.tanh(c_new)
-        mf = m[:, None].astype(h.dtype)
-        c = mf * c_new + (1.0 - mf) * c
-        h = mf * h_new + (1.0 - mf) * h
-        return (h, c), h * mf
+    if cell == "lstm":
+        def step(cr, inp):
+            h, c = cr
+            xp, m = inp
+            gates = xp + h @ wh
+            gi = jax.nn.sigmoid(gates[..., 0 * H:1 * H])
+            gf = jax.nn.sigmoid(gates[..., 1 * H:2 * H])
+            gg = jnp.tanh(gates[..., 2 * H:3 * H])
+            go = jax.nn.sigmoid(gates[..., 3 * H:4 * H])
+            c_new = gf * c + gi * gg
+            h_new = go * jnp.tanh(c_new)
+            mf = m[:, None].astype(h.dtype)
+            c = mf * c_new + (1.0 - mf) * c
+            h = mf * h_new + (1.0 - mf) * h
+            return (h, c), h * mf
+    elif cell == "gru":
+        def step(cr, inp):
+            (h,) = cr
+            xp, m = inp
+            hproj = h @ wh
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            nn = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * nn + z * h
+            mf = m[:, None].astype(h.dtype)
+            h = mf * h_new + (1.0 - mf) * h
+            return (h,), h * mf
+    elif cell == "rnn":
+        def step(cr, inp):
+            (h,) = cr
+            xp, m = inp
+            h_new = jnp.tanh(xp + h @ wh)
+            mf = m[:, None].astype(h.dtype)
+            h = mf * h_new + (1.0 - mf) * h
+            return (h,), h * mf
+    else:
+        raise ValueError(f"unknown cell {cell!r}")
 
-    (hT, cT), out = lax.scan(step, (h0, c0), (xproj, valid))
-    return out, hT, cT
+    final, out = lax.scan(step, carry, (xproj, valid))
+    return out, final
 
 
-def _sp_bilstm_local(x_loc, lengths, params_fwd, params_bwd,
-                     axis: str, n_shards: int):
-    """Per-device wavefront BiLSTM body.
+def _zero_carry(cell: str, B: int, H: int, dtype):
+    z = jnp.zeros((B, H), dtype)
+    return (z, z) if cell == "lstm" else (z,)
+
+
+def _sp_birnn_local(x_loc, lengths, params_fwd, params_bwd,
+                    cell: str, axis: str, n_shards: int):
+    """Per-device wavefront bi-RNN body (cell: lstm | gru | rnn).
 
     x_loc: [Tc, B, F] local time chunk (global T = n * Tc);
     lengths: [B] replicated. Returns the local [Tc, B, 2H] output
     chunk. Runs n_shards local scans per direction (each device's
-    chunk result is valid at exactly one stage; boundary (h, c) rides
-    a ppermute between stages) — latency matches the unsharded
+    chunk result is valid at exactly one stage; the boundary carry
+    rides a ppermute between stages) — latency matches the unsharded
     recurrence while activations stay sharded at [Tc, ...]."""
     Tc, B, _ = x_loc.shape
     H = params_fwd["wh"].shape[0]
@@ -199,16 +231,15 @@ def _sp_bilstm_local(x_loc, lengths, params_fwd, params_bwd,
     bwd_perm = [(i, i - 1) for i in range(1, n_shards)]
 
     def wavefront(params, x_dir, valid_dir, perm, stage_of_device):
-        h = jnp.zeros((B, H), x_loc.dtype)
-        c = jnp.zeros((B, H), x_loc.dtype)
+        carry = _zero_carry(cell, B, H, x_loc.dtype)
         out = jnp.zeros((Tc, B, H), x_loc.dtype)
         for s in range(n_shards):
-            o_s, hT, cT = _lstm_chunk_scan(params, x_dir, h, c, valid_dir)
+            o_s, fin = _chunk_scan(cell, params, x_dir, carry, valid_dir)
             keep = (stage_of_device == s)
             out = jnp.where(keep, o_s, out)
             if s < n_shards - 1:
-                h = lax.ppermute(hT, axis, perm=perm)
-                c = lax.ppermute(cT, axis, perm=perm)
+                carry = tuple(lax.ppermute(f, axis, perm=perm)
+                              for f in fin)
         return out
 
     # forward direction: wavefront d = 0, 1, ..., n-1
@@ -224,14 +255,19 @@ def _sp_bilstm_local(x_loc, lengths, params_fwd, params_bwd,
     return jnp.concatenate([out_f, out_b], axis=-1)   # [Tc, B, 2H]
 
 
-def make_sp_birnn_fn(params: dict, mesh: Mesh, axis: str = "seq"):
+def make_sp_birnn_fn(params: dict, mesh: Mesh, axis: str = "seq",
+                     cell: str = "lstm"):
     """jitted ([T, B, F] sharded over 'seq' on T, [B] replicated) ->
-    [T, B, 2H] sharded over 'seq' on T. ``params``: {'fwd': lstm
-    params, 'bwd': lstm params} as models/rnn.lstm_init builds them.
+    [T, B, 2H] sharded over 'seq' on T. ``params``: {'fwd': ...,
+    'bwd': ...} as models/rnn.{lstm,gru,vanilla}_init build them;
+    ``cell`` matches ModelConfig.rnn_type ("lstm" | "gru" | "rnn").
     Exact-numerics parity with models/rnn.birnn_apply is asserted in
-    tests/test_seqpar.py."""
+    tests/test_seqpar.py. For a multi-layer stack, apply per layer —
+    the output stays 'seq'-sharded, so layers chain with no
+    resharding."""
     n = mesh.shape[axis]
-    body = functools.partial(_sp_bilstm_local, axis=axis, n_shards=n)
+    body = functools.partial(_sp_birnn_local, cell=cell, axis=axis,
+                             n_shards=n)
     sharded = shard_map(
         lambda x, l, pf, pb: body(x, l, pf, pb),
         mesh=mesh, axis_names={axis},

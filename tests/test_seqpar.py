@@ -106,3 +106,45 @@ def test_sp_bilstm_output_sharded():
         x, jnp.full((B,), T, jnp.int32))
     shard_shapes = {s.data.shape for s in out.addressable_shards}
     assert shard_shapes == {(T // n, B, 2 * H)}
+
+
+@pytest.mark.parametrize("cell", ["gru", "rnn"])
+def test_sp_birnn_other_cells(cell):
+    """rnn_type parity for the SP path: GRU and plain-tanh cells match
+    models/rnn.birnn_apply exactly through the wavefront."""
+    from ctc_asr_tpu.models.rnn import gru_init, vanilla_init
+    n = 4
+    mesh = _seq_mesh(n)
+    T, B, F, H = 16, 2, 5, 8
+    init = gru_init if cell == "gru" else vanilla_init
+    params = {"fwd": init(jax.random.PRNGKey(0), F, H),
+              "bwd": init(jax.random.PRNGKey(1), F, H)}
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, B, F))
+    lengths = jnp.asarray([16, 9], jnp.int32)
+    want = np.asarray(birnn_apply(params, x, lengths, cell, jnp.float32))
+    got = np.asarray(
+        seqpar.make_sp_birnn_fn(params, mesh, cell=cell)(x, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_birnn_stack_two_layers():
+    """Layers chain with no resharding: output of layer 1 ('seq'-
+    sharded) feeds layer 2 directly; parity vs the stacked unsharded
+    reference."""
+    n = 4
+    mesh = _seq_mesh(n)
+    T, B, F, H = 16, 2, 6, 8
+    p1 = {"fwd": lstm_init(jax.random.PRNGKey(0), F, H),
+          "bwd": lstm_init(jax.random.PRNGKey(1), F, H)}
+    p2 = {"fwd": lstm_init(jax.random.PRNGKey(2), 2 * H, H),
+          "bwd": lstm_init(jax.random.PRNGKey(3), 2 * H, H)}
+    x = jax.random.normal(jax.random.PRNGKey(4), (T, B, F))
+    lengths = jnp.asarray([16, 11], jnp.int32)
+
+    ref1 = birnn_apply(p1, x, lengths, "lstm", jnp.float32)
+    want = np.asarray(birnn_apply(p2, ref1, lengths, "lstm",
+                                  jnp.float32))
+    f1 = seqpar.make_sp_birnn_fn(p1, mesh)
+    f2 = seqpar.make_sp_birnn_fn(p2, mesh)
+    got = np.asarray(f2(f1(x, lengths), lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
