@@ -203,16 +203,37 @@ def main():
               "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
               "rtf": round(r["rtf"], 5)})
 
-        # + word-LM N-best rescoring on top of the fused beam. Run the
-        # eval TWICE: the second pass hits the warm jit cache from the
-        # first, so its RTF is the honest steady-state rescore number
+        # + word-LM N-best rescoring on top of the fused beam. The
+        # rescore interpolation weight alpha is DEV-selected per model
+        # (like the fusion weight): a fixed alpha tuned on a weaker
+        # model over-rides correct beams once the acoustic+fusion
+        # scores sharpen (measured: fixed alpha=1.0 took the specaug
+        # ds3 model from 11.1% to 12.2% — backwards). alpha=0 is in
+        # the grid, so rescoring can never look worse than the fused
+        # beam on dev. Cheap sweep: alpha is host-side only, the
+        # on-device N-best decode jit is reused across values.
+        best_a, best_dev_a = None, float("inf")
+        for a in (0.0, 0.3, 0.6, 1.0, 2.0):
+            acfg = dc.replace(lcfg, decode=dc.replace(
+                lcfg.decode, word_lm_path=word_lm_path,
+                rescore_alpha=a))
+            rd = eval_split(acfg, params, man["dev"], log_samples=0)
+            print(f"[ladder] dev sweep rescore_alpha={a}: "
+                  f"wer={rd['wer']:.4f}", flush=True)
+            if rd["wer"] < best_dev_a:
+                best_dev_a, best_a = rd["wer"], a
+        # Run the TEST eval TWICE: the second pass hits the warm jit
+        # cache, so its RTF is the honest steady-state rescore number
         # (VERDICT r2 next #4 — replace the compile-dominated 0.384).
         wcfg = dc.replace(lcfg, decode=dc.replace(
-            lcfg.decode, word_lm_path=word_lm_path))
+            lcfg.decode, word_lm_path=word_lm_path,
+            rescore_alpha=best_a))
         r = eval_split(wcfg, params, man["test"], log_samples=0)
         r2 = eval_split(wcfg, params, man["test"], log_samples=0)
         emit({"rung": name + "+lm_fusion+rescore",
-              "decode": f"beam64+charlm(w={best_w})+wordlm",
+              "decode": f"beam64+charlm(w={best_w})"
+                        f"+wordlm(a={best_a})",
+              "dev_wer": round(best_dev_a, 4),
               "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
               "rtf": round(r["rtf"], 5),
               "rtf_steady2": round(r2["rtf_incl_compile"], 5)})
