@@ -74,7 +74,11 @@ def cmd_train(argv):
     eval_fn = None
     if cfg.data.eval_manifest:
         def eval_fn(state):
-            return evaluate(cfg, state["params"], log_samples=2)
+            res = evaluate(cfg, state["params"], log_samples=2)
+            # raw per-utterance records are for offline paired-bootstrap
+            # analysis, not the metrics stream
+            res.pop("per_utt", None)
+            return res
     state = train(cfg, max_steps=args.max_steps, eval_fn=eval_fn)
     print(f"[train] done at step {int(state['step'])}")
     return 0

@@ -174,6 +174,12 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
             t_warm, audio_warm = time.perf_counter(), total_audio
     wall = time.perf_counter() - t0
     out = acc.summary()
+    # bootstrap 95% CIs on corpus WER/CER + the raw per-utterance
+    # (we, wc, ce, cc) records, so callers can run paired bootstrap
+    # comparisons between systems evaluated on the same manifest
+    # (metrics.paired_bootstrap; VERDICT r3 next #1)
+    out.update(acc.bootstrap_ci())
+    out["per_utt"] = list(acc.utt_records)
     # RTF: processing time per second of audio (north-star decode metric,
     # BASELINE.json:2). <1 means faster than real time. Steady-state
     # (post-compile) when more than one batch ran; rtf_incl_compile has

@@ -120,6 +120,25 @@ def main():
             f.write(json.dumps(rec) + "\n")
         print("[ladder] " + json.dumps(rec), flush=True)
 
+    utt_dir = os.path.join(args.out, "per_utt")
+    os.makedirs(utt_dir, exist_ok=True)
+
+    def test_fields(rung, decode_name, r):
+        """Shared emit fields for a TEST eval: WER/CER with bootstrap 95%
+        CIs (VERDICT r3 next #1), plus a per-utterance (we,wc,ce,cc)
+        sidecar so any two rungs can be compared with the PAIRED
+        bootstrap (metrics.paired_bootstrap) post-hoc."""
+        slug = f"{rung}__{decode_name}".replace("/", "_").replace(" ", "")
+        with open(os.path.join(utt_dir, slug + ".json"), "w") as f:
+            json.dump({"rung": rung, "decode": decode_name,
+                       "per_utt": r["per_utt"]}, f)
+        out = {"test_wer": round(r["wer"], 4),
+               "test_cer": round(r["cer"], 4)}
+        if "wer_ci95" in r:
+            out["test_wer_ci95"] = [round(x, 4) for x in r["wer_ci95"]]
+            out["test_cer_ci95"] = [round(x, 4) for x in r["cer_ci95"]]
+        return out
+
     sc = args.steps_scale
 
     def train_and_eval(cfg, rung, decode_name):
@@ -134,7 +153,7 @@ def main():
         emit({"rung": rung, "decode": decode_name,
               "steps": int(state["step"]), "train_wall_s": wall,
               "dev_wer": round(rd["wer"], 4),
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              **test_fields(rung, decode_name, r),
               "rtf": round(r["rtf"], 5)})
         return state
 
@@ -173,13 +192,13 @@ def main():
         r = eval_split(gcfg, params, man["test"], log_samples=0)
         emit({"rung": name, "decode": "greedy(diagnostic)",
               "steps": int(state["step"]), "train_wall_s": wall,
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              **test_fields(name, "greedy", r),
               "rtf": round(r["rtf"], 5)})
 
         r = eval_split(cfg, params, man["test"])
         emit({"rung": name, "decode": "beam64",
               "steps": int(state["step"]),
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              **test_fields(name, "beam64", r),
               "rtf": round(r["rtf"], 5)})
 
         # char-LM fusion: select weight on DEV, report on TEST
@@ -200,7 +219,7 @@ def main():
         emit({"rung": name + "+lm_fusion",
               "decode": f"beam64+charlm(w={best_w})",
               "dev_wer": round(best_dev, 4),
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              **test_fields(name + "+lm_fusion", "beam64+charlm", r),
               "rtf": round(r["rtf"], 5)})
 
         # + word-LM N-best rescoring on top of the fused beam. The
@@ -222,9 +241,13 @@ def main():
                   f"wer={rd['wer']:.4f}", flush=True)
             if rd["wer"] < best_dev_a:
                 best_dev_a, best_a = rd["wer"], a
-        # Run the TEST eval TWICE: the second pass hits the warm jit
-        # cache, so its RTF is the honest steady-state rescore number
-        # (VERDICT r2 next #4 — replace the compile-dominated 0.384).
+        # Run the TEST eval TWICE with ONE metric definition (VERDICT r3
+        # weak #5: the old table mixed compile-excluded "rtf" on pass 1
+        # with wall-incl-compile on pass 2, so warm read HIGHER than
+        # cold). Both passes now report evaluate()'s steady-state rtf —
+        # first-batch excluded, host rescore included — so pass 2
+        # ("rtf_warm", fully-warm jit cache AND warm rescore memo) is
+        # directly comparable and must come out <= pass 1.
         wcfg = dc.replace(lcfg, decode=dc.replace(
             lcfg.decode, word_lm_path=word_lm_path,
             rescore_alpha=best_a))
@@ -234,9 +257,9 @@ def main():
               "decode": f"beam64+charlm(w={best_w})"
                         f"+wordlm(a={best_a})",
               "dev_wer": round(best_dev_a, 4),
-              "test_wer": round(r["wer"], 4), "test_cer": round(r["cer"], 4),
+              **test_fields(name + "+lm_fusion+rescore", "rescore", r),
               "rtf": round(r["rtf"], 5),
-              "rtf_steady2": round(r2["rtf_incl_compile"], 5)})
+              "rtf_warm": round(r2["rtf"], 5)})
 
     if "ds3" in rungs:
         run_ds3_chain("ds3", specaug=False)
