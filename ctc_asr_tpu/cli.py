@@ -68,13 +68,21 @@ def cmd_train(argv):
     from .parallel.dist import initialize_distributed
     initialize_distributed(cfg.mesh)
 
+    import jax
+
     from .evaluate import evaluate
     from .train import train
 
     eval_fn = None
     if cfg.data.eval_manifest:
         def eval_fn(state):
-            res = evaluate(cfg, state["params"], log_samples=2)
+            params = state["params"]
+            if jax.process_count() > 1:
+                # the train state is replicated over the GLOBAL mesh;
+                # eval decodes each process's shard with a process-LOCAL
+                # jit, so re-commit the replica to the local device
+                params = jax.device_put(jax.device_get(params))
+            res = evaluate(cfg, params, log_samples=2)
             # raw per-utterance records are for offline paired-bootstrap
             # analysis, not the metrics stream
             res.pop("per_utt", None)

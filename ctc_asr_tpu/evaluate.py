@@ -174,6 +174,21 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
             t_warm, audio_warm = time.perf_counter(), total_audio
     wall = time.perf_counter() - t0
     out = acc.summary()
+    if jax.process_count() > 1:
+        # multi-process: each process decoded its own loader shard;
+        # sum the edit/token counts across processes so every process
+        # reports the CORPUS WER/CER (and process 0's metrics stream /
+        # best-checkpoint decisions see the global number). per_utt and
+        # the bootstrap CI below stay shard-local.
+        from jax.experimental import multihost_utils
+        counts = np.array([acc.word_edits, acc.word_count,
+                           acc.char_edits, acc.char_count,
+                           acc.utterances], np.int64)
+        tot = np.asarray(multihost_utils.process_allgather(counts))
+        tot = tot.sum(axis=0)
+        out.update(wer=tot[0] / max(1, tot[1]), cer=tot[2] / max(1, tot[3]),
+                   utterances=int(tot[4]), word_edits=int(tot[0]),
+                   word_count=int(tot[1]))
     # bootstrap 95% CIs on corpus WER/CER + the raw per-utterance
     # (we, wc, ce, cc) records, so callers can run paired bootstrap
     # comparisons between systems evaluated on the same manifest

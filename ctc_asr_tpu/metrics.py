@@ -181,6 +181,21 @@ class ThroughputMeter:
         return total_audio / max(1e-9, t1 - t0)
 
 
+class NullMetricsWriter:
+    """No-op sink for non-zero processes in a multi-process run: every
+    process computes the same replicated metrics, only process 0 owns
+    the train-dir files (JSONL/TB append from N processes would
+    interleave corruptly)."""
+
+    path = None
+
+    def write(self, step: int, **scalars) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class MetricsWriter:
     """Metrics sink: append-only JSONL + TensorBoard event file
     (plus mirrored stdout logging).

@@ -22,12 +22,58 @@ from .mesh import batch_sharding, build_mesh, state_shardings
 
 
 def initialize_distributed(cfg: MeshConfig) -> None:
-    """Multi-host process-group init (no-op for single-process runs)."""
+    """Multi-host process-group init (no-op for single-process runs).
+
+    On the CPU backend, cross-process collectives need an explicit
+    implementation (the default is none — each process would come up as
+    an isolated 1-process group); gloo ships with jaxlib, so enable it
+    before the backend instantiates. Executed + asserted by
+    tests/test_multiprocess.py (2 real OS processes, local coordinator).
+    """
     if cfg.coordinator_address and cfg.num_processes > 1:
+        import os
+        os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
         jax.distributed.initialize(
             coordinator_address=cfg.coordinator_address,
             num_processes=cfg.num_processes,
             process_id=cfg.process_id)
+        if jax.process_count() != cfg.num_processes:
+            raise RuntimeError(
+                f"jax.distributed came up with {jax.process_count()} "
+                f"processes, expected {cfg.num_processes} (was the "
+                "backend already initialized before "
+                "initialize_distributed?)")
+
+
+def process_local_batch(mesh, arrays):
+    """Per-process LOCAL batch shards -> global batch-sharded jax.Arrays.
+
+    Each process passes the arrays its own loader shard produced
+    (``DataLoader(shard_idx=jax.process_index(), ...)``); the global
+    array's 'data'-axis shard layout matches the strided manifest
+    sharding, so the global batch is the concatenation of per-process
+    batches in mesh order. Works identically for the 1-process case
+    (local == global).
+    """
+    import numpy as np
+    bsh = batch_sharding(mesh)
+    return tuple(
+        jax.make_array_from_process_local_data(bsh, np.asarray(a))
+        for a in arrays)
+
+
+def replicate_tree(mesh, tree):
+    """Host pytree (identical on every process) -> fully-replicated
+    global jax.Arrays on ``mesh``. The multi-process analog of a plain
+    device_put: every process supplies its local replicas' data."""
+    import numpy as np
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep,
+                                            lambda idx: x[idx])
+    return jax.tree.map(put, tree)
 
 
 def _without_pallas(cfg: Config) -> Config:

@@ -19,6 +19,7 @@ TPU-first:
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -29,7 +30,7 @@ from . import checkpoint as ckpt_mod
 from . import features as feat_mod
 from .config import Config
 from .data import DataLoader, read_manifest
-from .metrics import MetricsWriter, ThroughputMeter
+from .metrics import MetricsWriter, NullMetricsWriter, ThroughputMeter
 from .models import apply_encoder, init_params
 from .ops.ctc_ref import ctc_loss
 
@@ -167,7 +168,7 @@ def make_eval_step(cfg: Config):
     return jax.jit(eval_fn)
 
 
-def device_batches(src, loader=None, with_labels: bool = True):
+def device_batches(src, loader=None, with_labels: bool = True, put=None):
     """Yield (batch, device_arrays) with the NEXT batch's
     jax.device_put already in flight: the host->device transfer of
     batch k+1 overlaps step k's compute (device_put is async), so the
@@ -179,12 +180,17 @@ def device_batches(src, loader=None, with_labels: bool = True):
     past the batch actually being trained; passing ``loader`` re-pins
     ``loader.consumed`` to each YIELDED batch so state_dict() stays an
     exact resume point. ``with_labels=False`` skips uploading
-    labels/label_lengths (eval never uses them)."""
+    labels/label_lengths (eval never uses them). ``put`` overrides the
+    host->device transfer (default jax.device_put) — the multi-process
+    train path passes parallel.dist.process_local_batch so each
+    process's LOCAL batch becomes its shard of the global array."""
+    if put is None:
+        put = jax.device_put
     pending = None
     for b in src:
         arrs = (b.samples, b.sample_lengths) if not with_labels else \
             (b.samples, b.sample_lengths, b.labels, b.label_lengths)
-        dev = jax.device_put(arrs)
+        dev = put(arrs)
         if pending is not None:
             if loader is not None:
                 loader.consumed = (pending[0].epoch, pending[0].position)
@@ -259,12 +265,28 @@ def train(cfg: Config, max_steps: int | None = None,
     """
     tcfg = cfg.train
     total = max_steps if max_steps is not None else tcfg.total_steps
+    # Multi-process (multi-host) regime: when jax.distributed has formed
+    # a >1-process group (cli.cmd_train -> initialize_distributed), the
+    # SAME loop runs the mesh-sharded step over all processes' devices —
+    # per-process loader shards become shards of the global batch, the
+    # gradient pmean crosses process boundaries, and only process 0
+    # writes metrics/checkpoints. Executed for real (2 OS processes) by
+    # tests/test_multiprocess.py.
+    nproc = jax.process_count()
+    mesh = put = None
+    if nproc > 1:
+        from .parallel.dist import process_local_batch, replicate_tree
+        from .parallel.mesh import build_mesh
+        mesh = build_mesh(cfg.mesh)
+        put = functools.partial(process_local_batch, mesh)
     if loader is None:
         manifest = read_manifest(cfg.data.train_manifest)
         loader = DataLoader(manifest, cfg.data, cfg.features,
                             shard_idx=jax.process_index(),
-                            num_shards=jax.process_count())
-    writer = writer or MetricsWriter(tcfg.train_dir)
+                            num_shards=nproc)
+    if writer is None:
+        writer = MetricsWriter(tcfg.train_dir) if jax.process_index() == 0 \
+            else NullMetricsWriter()
     state = init_train_state(cfg)
 
     # Resume if a checkpoint exists.
@@ -275,9 +297,14 @@ def train(cfg: Config, max_steps: int | None = None,
             loader.load_state_dict(meta["loader"])
         print(f"[train] resumed from step {int(state['step'])}", flush=True)
 
-    step_fn = make_train_step(cfg)
-    if tcfg.precompile:
-        precompile_bucket_shapes(step_fn, state, loader, cfg)
+    if mesh is not None:
+        from .parallel.dist import make_sharded_train_step
+        step_fn = make_sharded_train_step(cfg, mesh, state)
+        state = replicate_tree(mesh, jax.device_get(state))
+    else:
+        step_fn = make_train_step(cfg)
+        if tcfg.precompile:
+            precompile_bucket_shapes(step_fn, state, loader, cfg)
     meter = ThroughputMeter()
     best_wer = meta.get("best_wer", float("inf")) if meta else float("inf")
 
@@ -288,7 +315,7 @@ def train(cfg: Config, max_steps: int | None = None,
     from .utils.profiling import maybe_trace
 
     it = iter(loader)
-    dev_it = device_batches(it, loader=loader)
+    dev_it = device_batches(it, loader=loader, put=put)
     start_step = int(state["step"])
     t_last = time.perf_counter()
     try:
