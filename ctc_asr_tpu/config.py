@@ -218,6 +218,11 @@ class MeshConfig:
     model_axis: int = 1
     # sharding of the RNN hidden / projection dims over the 'model' axis
     shard_model: bool = False
+    # sequence parallelism (SURVEY.md §5 long-context, optional): >1
+    # shards the TIME axis of activations over a ('seq',) mesh of that
+    # many local devices — halo-exchange frontend + wavefront (bi)RNN
+    # (parallel/seqpar.py). Dense (DS1) frontend only; single-process.
+    seq_axis: int = 1
     # jax.distributed coordination (multi-host); empty = single-process
     coordinator_address: str = ""
     num_processes: int = 1

@@ -273,12 +273,25 @@ def train(cfg: Config, max_steps: int | None = None,
     # writes metrics/checkpoints. Executed for real (2 OS processes) by
     # tests/test_multiprocess.py.
     nproc = jax.process_count()
-    mesh = put = None
+    mesh = put = sp_mesh = None
     if nproc > 1:
         from .parallel.dist import process_local_batch, replicate_tree
         from .parallel.mesh import build_mesh
         mesh = build_mesh(cfg.mesh)
         put = functools.partial(process_local_batch, mesh)
+    elif cfg.mesh.seq_axis > 1:
+        # sequence parallelism (config-driven): time-sharded activations
+        # over a ('seq',) mesh of local devices — parallel/seqpar.py
+        from jax.sharding import Mesh
+        import numpy as _np
+        from .parallel import seqpar
+        devs = jax.devices()
+        if len(devs) < cfg.mesh.seq_axis:
+            raise ValueError(
+                f"mesh.seq_axis={cfg.mesh.seq_axis} needs that many "
+                f"local devices, have {len(devs)}")
+        sp_mesh = Mesh(_np.array(devs[:cfg.mesh.seq_axis]), ("seq",))
+        put = functools.partial(seqpar.sp_batch_put, sp_mesh)
     if loader is None:
         manifest = read_manifest(cfg.data.train_manifest)
         loader = DataLoader(manifest, cfg.data, cfg.features,
@@ -301,6 +314,12 @@ def train(cfg: Config, max_steps: int | None = None,
         from .parallel.dist import make_sharded_train_step
         step_fn = make_sharded_train_step(cfg, mesh, state)
         state = replicate_tree(mesh, jax.device_get(state))
+    elif sp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from .parallel import seqpar
+        step_fn = seqpar.make_sp_train_step(cfg, sp_mesh, state)
+        state = jax.device_put(
+            state, NamedSharding(sp_mesh, PartitionSpec()))
     else:
         step_fn = make_train_step(cfg)
         if tcfg.precompile:

