@@ -217,7 +217,7 @@ class DataLoader:
         scipy path individually.
         """
         B = len(paths)
-        samples = None
+        samples = rates = None
         try:
             from . import native_io
             if native_io.available():
@@ -233,8 +233,37 @@ class DataLoader:
             samples = np.zeros((B, max_samples), np.float32)
             slens = np.zeros((B,), np.int32)
         if redo:
+            target_sr = self.spec.sample_rate
+
             def load_one(i):
-                s, _ = audio_mod.read_wav(paths[i], self.spec.sample_rate)
+                # rate-mismatched file the native path DID decode:
+                # re-decode natively with a rate-scaled cap (the batch
+                # call truncated at the TARGET-rate width) and resample
+                # on host — re-reading via the scipy fallback would
+                # break for FLAC, which it can't parse (ADVICE r3)
+                if rates is not None and slens[i] > 0 \
+                        and rates[i] not in (0, target_sr):
+                    from . import native_io
+                    cap = -(-max_samples * int(rates[i])) // target_sr + 64
+                    full, fl, fr = native_io.decode_batch(
+                        [paths[i]], cap, n_threads=1)
+                    if fl[0] > 0:
+                        s = audio_mod.resample(
+                            np.array(full[0, :fl[0]], np.float32),
+                            int(fr[0]), target_sr)
+                        return i, s
+                # native decode failed outright: scipy handles wav;
+                # FLAC has no fallback decoder, so fail loudly instead
+                # of a confusing wav-parse error
+                with open(paths[i], "rb") as f:
+                    magic = f.read(4)
+                if magic == b"fLaC":
+                    raise RuntimeError(
+                        f"native FLAC decode failed for {paths[i]!r} "
+                        "and no fallback decoder exists for .flac "
+                        "(corrupt file, or the native library is "
+                        "unavailable — build native/ctcasr_io.cc)")
+                s, _ = audio_mod.read_wav(paths[i], target_sr)
                 return i, s
             for i, s in self._pool.map(load_one, redo):
                 n = min(len(s), max_samples)

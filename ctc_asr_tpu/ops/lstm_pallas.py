@@ -69,6 +69,38 @@ TIME_BLOCK = 8
 # (B=128/H=512 ran at TT=1 under the 16M cap; TT=8 fits the new one).
 _VMEM_BUDGET = 60 << 20
 _VMEM_LIMIT_BYTES = 100 << 20
+# The 100M request and 60M budget assume >=128M physical VMEM —
+# measured on TPU v5 lite, and every v4/v5/v6 part has 128M. Unknown or
+# older device kinds (v2/v3: 16M) keep Mosaic's default limit with a
+# proportional budget so fused_fits() rejects big geometries and the
+# lax.scan fallback stays reachable instead of a Mosaic compile error
+# (ADVICE r3).
+_SMALL_VMEM_BUDGET = 12 << 20
+
+
+@functools.lru_cache(maxsize=1)
+def _vmem_params() -> tuple:
+    """(budget_bytes, limit_bytes_or_None) for the local device kind.
+
+    Non-TPU backends (CPU tests, interpret mode) keep the calibrated
+    v5e values — the compiled kernels never run there, and the TT
+    decision table (tests/test_lstm_pallas.py) pins the v5e optimum.
+    """
+    try:
+        dev = jax.devices()[0]
+        if dev.platform != "tpu" and "tpu" not in dev.platform:
+            return _VMEM_BUDGET, _VMEM_LIMIT_BYTES
+        kind = dev.device_kind.lower()
+    except Exception:
+        return _VMEM_BUDGET, _VMEM_LIMIT_BYTES
+    if any(g in kind for g in ("v4", "v5", "v6", "lite")):
+        return _VMEM_BUDGET, _VMEM_LIMIT_BYTES
+    return _SMALL_VMEM_BUDGET, None
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_vmem_params()[1])
+
 
 def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     """Largest time block whose pipeline buffers fit the scoped budget.
@@ -120,7 +152,7 @@ def _pick_tt(nd: int, B: int, H: int, G: int, T: int) -> int:
     per_t = nd * B * (G + 7 * H) * 2 * 2  # bf16 x double-buffered
     temps = B * (3 * G + 5 * H) * 4       # f32 step intermediates
     factor = 2 if H > 512 else 1
-    while tt > 1 and factor * (per_t * tt + temps) > _VMEM_BUDGET:
+    while tt > 1 and factor * (per_t * tt + temps) > _vmem_params()[0]:
         tt //= 2
     return max(1, min(tt, T))
 
@@ -136,7 +168,7 @@ def fused_fits(nd: int, B: int, H: int, G: int) -> bool:
     per_t = nd * B * (G + 7 * H) * 2 * 2
     temps = B * (3 * G + 5 * H) * 4
     factor = 2 if H > 512 else 1  # wide-gate calibration, see _pick_tt
-    return factor * (per_t + temps) <= _VMEM_BUDGET
+    return factor * (per_t + temps) <= _vmem_params()[0]
 
 
 def _pad_time(x, Tp):
@@ -311,8 +343,7 @@ def _run_fwd(xproj, b, wh, start, end, interpret):
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32),
                         pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        compiler_params=None if interpret else _compiler_params(),
     )(xproj, b, wh, start, end)
     # residuals stay padded; the public output is sliced by the caller
     return h_seq, c_seq, gates
@@ -353,8 +384,7 @@ def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32),
                         pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        compiler_params=None if interpret else _compiler_params(),
     )(g_out, gates, c_seq, c_seq, wh, start, end)
     return dxproj, db
 
@@ -547,8 +577,7 @@ def _gru_run_fwd(xproj, b, wh, start, end, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        compiler_params=None if interpret else _compiler_params(),
     )(xproj, b, wh, start, end)
     return h_seq, gates
 
@@ -587,8 +616,7 @@ def _gru_run_bwd(g_out, gates, h_seq, wh, start, end, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((nd, B, H), jnp.float32)],
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        compiler_params=None if interpret else _compiler_params(),
     )(g_out, gates, h_seq, h_seq, wh, start, end)
     return dxproj, db
 

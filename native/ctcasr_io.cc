@@ -208,9 +208,39 @@ int ctcasr_decode_batch(const char** paths, int n, int64_t max_samples,
   return failures.load();
 }
 
-// Probe: sample count + rate.
+// Probe: sample count + rate. FLAC answers straight from the
+// STREAMINFO metadata block (42 header bytes) instead of decoding
+// every frame — prepare_librispeech(convert=False) calls this once per
+// utterance, so the probe must be O(1), not O(full decode) (ADVICE
+// r3). Falls back to a full decode when STREAMINFO reports 0 total
+// samples (legal per spec) or for non-FLAC inputs.
 int ctcasr_wav_info(const char* path, int64_t* n_samples,
                     int32_t* sample_rate) {
+  FILE* f = std::fopen(path, "rb");
+  if (f) {
+    uint8_t head[42];
+    size_t got = std::fread(head, 1, sizeof(head), f);
+    std::fclose(f);
+    if (got == sizeof(head) && std::memcmp(head, "fLaC", 4) == 0 &&
+        (head[4] & 0x7F) == 0) {  // first metadata block is STREAMINFO
+      // STREAMINFO layout (bits): 16 min/16 max blocksize, 24/24
+      // framesize, 20 rate, 3 channels-1, 5 bps-1, 36 total samples.
+      const uint8_t* si = head + 8;
+      uint32_t rate = (static_cast<uint32_t>(si[10]) << 12) |
+                      (static_cast<uint32_t>(si[11]) << 4) |
+                      (static_cast<uint32_t>(si[12]) >> 4);
+      uint64_t total = (static_cast<uint64_t>(si[13] & 0x0F) << 32) |
+                       (static_cast<uint64_t>(si[14]) << 24) |
+                       (static_cast<uint64_t>(si[15]) << 16) |
+                       (static_cast<uint64_t>(si[16]) << 8) |
+                       static_cast<uint64_t>(si[17]);
+      if (rate != 0 && total != 0) {
+        *n_samples = static_cast<int64_t>(total);
+        *sample_rate = static_cast<int32_t>(rate);
+        return 0;
+      }
+    }
+  }
   WavData full = decode_audio(path, 0);
   if (!full.ok) return 1;
   *n_samples = static_cast<int64_t>(full.samples.size());

@@ -7,9 +7,13 @@
 // emits — CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes,
 // RICE and RICE2 residual coding with partitioning and escape codes,
 // independent + left/side + right/side + mid/side stereo decorrelation,
-// wasted bits, and variable blocksize/UTF-8 frame numbering. CRCs are
-// parsed-over, not verified (decode robustness, not integrity checking,
-// is the loader's job; a corrupt stream fails structurally).
+// wasted bits, and variable blocksize/UTF-8 frame numbering. The frame
+// CRC-8 (header) and CRC-16 (whole frame) are VERIFIED (ADVICE r3): a
+// decoder desync that happens to stay structurally parseable cannot
+// round-trip silently — the consumed byte range must reproduce the
+// stream's own checksums. (No libFLAC exists in this environment to
+// cross-encode a fixture; tests/flac_writer.py emits spec CRCs and
+// tests corrupt them to prove verification bites.)
 //
 // Exposed to ctcasr_io.cc (same translation unit family, see the C ABI
 // there): flac_decode_file(buf, len, max_samples) -> FlacData.
@@ -218,6 +222,30 @@ const int kBlockSizeTable[16] = {0,    192,  576,  1152, 2304, 4608, -8, -16,
                                  256,  512,  1024, 2048, 4096, 8192, 16384,
                                  32768};
 
+// Frame checksums (FLAC spec): CRC-8 poly 0x07, CRC-16 poly 0x8005,
+// both init 0, MSB-first.
+uint8_t crc8(const uint8_t* p, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= p[i];
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x80) ? static_cast<uint8_t>((c << 1) ^ 0x07)
+                     : static_cast<uint8_t>(c << 1);
+  }
+  return c;
+}
+
+uint16_t crc16(const uint8_t* p, size_t n) {
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= static_cast<uint16_t>(p[i]) << 8;
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x8000) ? static_cast<uint16_t>((c << 1) ^ 0x8005)
+                       : static_cast<uint16_t>(c << 1);
+  }
+  return c;
+}
+
 }  // namespace
 
 FlacData flac_decode_buffer(const uint8_t* buf, size_t len,
@@ -265,7 +293,8 @@ FlacData flac_decode_buffer(const uint8_t* buf, size_t len,
                                     : 1024);
 
   while (!br.eof()) {
-    // Frame header.
+    // Frame header (frames are byte-aligned; br.bit == 0 here).
+    size_t fstart = br.byte;
     uint32_t sync = br.bits(14);
     if (br.fail) break;  // clean EOF (padding after last frame)
     if (sync != 0x3FFE) {
@@ -295,7 +324,13 @@ FlacData flac_decode_buffer(const uint8_t* buf, size_t len,
     if (sr_code == 13) br.bits(16);  // bits must be consumed
     if (sr_code == 14) br.bits(16);
     if (sr_code == 15) return out;
-    br.bits(8);  // CRC-8 (unverified)
+    // CRC-8 over the header bytes [fstart, here) must match the stream
+    size_t hdr_end = br.byte;
+    uint32_t stored8 = br.bits(8);
+    if (br.fail || stored8 != crc8(br.data + fstart, hdr_end - fstart)) {
+      out.ok = false;
+      return out;
+    }
 
     int bps;
     switch (ss_code) {
@@ -339,8 +374,15 @@ FlacData flac_decode_buffer(const uint8_t* buf, size_t len,
         return out;
     }
     br.align();
-    br.bits(16);  // CRC-16 (unverified)
-    if (br.fail) return out;
+    // CRC-16 over the whole frame (header + crc8 + subframes) — a
+    // subframe misparse that shifted the consumed range fails here
+    size_t frame_end = br.byte;
+    uint32_t stored16 = br.bits(16);
+    if (br.fail ||
+        stored16 != crc16(br.data + fstart, frame_end - fstart)) {
+      out.ok = false;
+      return out;
+    }
 
     // Undo inter-channel decorrelation.
     if (ch_code == 8) {  // left/side: right = left - side
