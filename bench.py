@@ -28,16 +28,25 @@ import time
 import numpy as np
 
 
-def build_cfg(tiny: bool):
+def build_cfg(arm: str):
     from ctc_asr_tpu.config import (Config, DataConfig, FeatureConfig,
                                     ModelConfig, TrainConfig)
-    if tiny:
+    if arm == "tiny":
         model = ModelConfig(frontend="conv", conv_channels=(8, 8),
                             conv_kernels=((5, 5), (3, 3)),
                             conv_strides=((2, 2), (1, 2)), rnn_layers=1,
                             rnn_units=128, bidirectional=True, dropout=0.0)
         batch, seconds = 4, 2.0
-    else:
+    elif arm == "ds3":
+        # BASELINE.json:9 flagship: conv frontend + 5x BiLSTM-800 (37M).
+        # First-class tuned record (VERDICT r3 next #3) — batch from the
+        # r4 hardware sweep (BASELINE.md): B=48: 4.48k, B=64: 4.64k
+        # audio-s/s/chip (B>=96 exceeds single-chip HBM at T'=400:
+        # 13.5G request vs ~12.6G usable).
+        model = ModelConfig(frontend="conv", rnn_layers=5, rnn_units=800,
+                            bidirectional=True, dropout=0.0)
+        batch, seconds = 64, 8.0
+    else:  # "ds2" default
         # The BASELINE.json:8 config family: conv frontend + 3x BiLSTM.
         # B=128 after the batch sweep (BASELINE.md): per-step cost is
         # recurrence-latency-bound at small B, so larger batches
@@ -57,6 +66,43 @@ def build_cfg(tiny: bool):
         train=TrainConfig(learning_rate=1e-4, seed=0),
     )
     return cfg, batch, seconds
+
+
+# TPU v5e (v5 lite) peak dense bf16 matmul throughput per chip.
+_PEAK_FLOPS = {"TPU v5": 197e12, "TPU v5 lite": 197e12,
+               "TPU v4": 275e12, "TPU v6": 918e12}
+
+
+def model_step_flops(cfg, batch: int, seconds: float) -> float:
+    """Analytic ALGORITHMIC matmul FLOPs of one train step (fwd ~x3 for
+    fwd+bwd, the standard MFU convention — counts the math the model
+    defines, not the banded/padded formulation actually executed).
+    Elementwise/DSP work is excluded (<2% of the dot FLOPs here)."""
+    fcfg, m = cfg.features, cfg.model
+    T = int(seconds * 1000 / fcfg.hop_ms)          # feature frames
+    F = fcfg.feature_dim
+    fwd = 0.0
+    if m.frontend == "conv":
+        t, f, cin = T, F, 1
+        for ch, (kt, kf), (st, sf) in zip(m.conv_channels, m.conv_kernels,
+                                          m.conv_strides):
+            t, f = -(-t // st), -(-f // sf)
+            fwd += 2.0 * t * f * ch * kt * kf * cin
+            cin = ch
+        d, Tp = f * cin, t
+    else:
+        d, Tp = F, T
+        for _ in range(m.dense_layers):
+            fwd += 2.0 * Tp * d * m.dense_units
+            d = m.dense_units
+    H = m.rnn_units
+    gates = {"lstm": 4, "gru": 3, "rnn": 1}[m.rnn_type]
+    nd = 2 if m.bidirectional else 1
+    for _ in range(m.rnn_layers):
+        fwd += nd * 2.0 * Tp * (d * gates * H + H * gates * H)
+        d = nd * H
+    fwd += 2.0 * Tp * d * m.num_classes
+    return 3.0 * fwd * batch
 
 
 def make_batch(cfg, batch, seconds, rng):
@@ -230,6 +276,44 @@ def bench_decode(cfg, batch, seconds, steps, warmup, step_fn=None,
     return out
 
 
+def bench_converged_decode(cfg, batch: int, ckpt: str, manifest_path: str):
+    """Beam-64 (and greedy) decode RTF with CONVERGED params on real
+    manifest utterances at the bench batch — the 'RTF at matched WER'
+    counterpart to the 40-step synth proxy (BASELINE.json:2). Uses
+    evaluate()'s steady-state protocol (first batch excluded)."""
+    import dataclasses as dc
+    import jax
+    from ctc_asr_tpu import checkpoint as ckpt_mod
+    from ctc_asr_tpu.config import DataConfig, DecodeConfig
+    from ctc_asr_tpu.data import DataLoader, read_manifest
+    from ctc_asr_tpu.evaluate import evaluate
+    from ctc_asr_tpu.train import init_train_state
+
+    cfg = dc.replace(
+        cfg,
+        data=dc.replace(DataConfig(), batch_size=batch, num_buckets=2,
+                        min_audio_seconds=0.3, max_audio_seconds=12.0),
+        decode=dc.replace(DecodeConfig(), method="beam", beam_width=64))
+    path = ckpt
+    if not path.endswith(".npz"):
+        path = ckpt_mod.latest_checkpoint(path.rstrip("/") + "/ckpt") \
+            or path
+    template = init_train_state(cfg)
+    state, _ = ckpt_mod.load_checkpoint(path, template)
+    man = read_manifest(manifest_path)
+    out = {}
+    for name, dcfg in (("beam64", cfg.decode),
+                       ("greedy", dc.replace(cfg.decode,
+                                             method="greedy"))):
+        c = dc.replace(cfg, decode=dcfg)
+        loader = DataLoader(man, c.data, c.features, drop_last=False)
+        r = evaluate(c, state["params"], loader=loader, log_samples=0)
+        out[f"decode_rtf_converged_{name}"] = round(r["rtf"], 5)
+        out[f"decode_wer_converged_{name}"] = round(r["wer"], 4)
+    out["decode_converged_ckpt"] = path
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
@@ -247,12 +331,23 @@ def main():
     ap.add_argument("--decode-train-steps", type=int, default=40,
                     help="train steps on the synth batch before the "
                          "decode-RTF measurement (0 = random init)")
+    ap.add_argument("--model", default="ds2", choices=["ds2", "ds3",
+                                                       "tiny"],
+                    help="bench arm: ds2 (conv+3xBiLSTM-512, default) "
+                         "or the ds3 flagship (conv+5xBiLSTM-800)")
+    ap.add_argument("--decode-ckpt", default="",
+                    help="checkpoint (.npz or train dir) for a "
+                         "CONVERGED-model decode-RTF measurement "
+                         "(BASELINE.json:2 'RTF at matched WER')")
+    ap.add_argument("--decode-manifest", default="",
+                    help="manifest of real utterances for the converged "
+                         "decode (pairs with --decode-ckpt)")
     args = ap.parse_args()
 
     import jax
     devs = jax.devices()
     n_chips = len(devs)
-    cfg, batch, seconds = build_cfg(args.tiny)
+    cfg, batch, seconds = build_cfg("tiny" if args.tiny else args.model)
     if args.batch:
         batch = args.batch
     if args.seconds:
@@ -279,6 +374,21 @@ def main():
         except Exception as e:  # pragma: no cover - defensive
             extra["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    if args.decode_ckpt and args.decode_manifest:
+        # converged-model decode RTF on REAL utterances at the bench
+        # batch (VERDICT r3 next #5: the contract metric is RTF at
+        # matched WER; the 40-step synth proxy above is shape-level)
+        try:
+            extra.update(bench_converged_decode(
+                cfg, batch, args.decode_ckpt, args.decode_manifest))
+        except Exception as e:  # pragma: no cover - defensive
+            extra["decode_converged_error"] = \
+                f"{type(e).__name__}: {e}"[:200]
+
+    kind = str(devs[0].device_kind if hasattr(devs[0], "device_kind")
+               else devs[0])
+    flops = model_step_flops(cfg, batch, seconds)
+    peak = _PEAK_FLOPS.get(kind)
     rec = {
         "metric": "train_throughput",
         "value": round(per_chip, 3),
@@ -288,9 +398,11 @@ def main():
         "device_step_time_s": round(dev_step_time, 4),
         "batch": batch,
         "utterance_seconds": seconds,
+        "model": "tiny" if args.tiny else args.model,
         "n_chips": n_chips,
-        "device": str(devs[0].device_kind if hasattr(devs[0], "device_kind")
-                      else devs[0]),
+        "device": kind,
+        **({"step_mfu": round(flops / (dev_step_time * peak * n_chips), 4)}
+           if peak else {}),
         **extra,
     }
     print(json.dumps(rec))
