@@ -77,6 +77,13 @@ _VMEM_LIMIT_BYTES = 100 << 20
 # (ADVICE r3).
 _SMALL_VMEM_BUDGET = 12 << 20
 
+# Direction-interleaved (j-major) LSTM kernel loops: candidate for the
+# documented BPTT VPU slack (VERDICT r3 next #4) — adjacent trace ops
+# belong to independent direction chains so the scheduler can hide one
+# direction's gate math under the other's recurrence matmul. Decided
+# by hardware A/B (diag_vmem_envelope --interleave); see DESIGN.md §4b.
+INTERLEAVE_DIRS = False
+
 
 @functools.lru_cache(maxsize=1)
 def _vmem_params() -> tuple:
@@ -187,7 +194,8 @@ def _pad_time(x, Tp):
 
 def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
                 h_out_ref, c_out_ref, gates_out_ref,
-                h_c, c_c, *, B: int, H: int, nd: int, TT: int):
+                h_c, c_c, *, B: int, H: int, nd: int, TT: int,
+                ilv: bool = False):
     """Grid (T/TT,). Blocks: xproj [nd, TT, B, 4H] bf16; b [nd, 4H] f32
     and wh [nd, H, 4H] resident; start/end [nd, B, 1] resident; outs
     per-block [nd, TT, B, *] bf16; scratch h/c [nd, B, H] f32 carried."""
@@ -198,32 +206,48 @@ def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
         h_c[...] = jnp.zeros((nd, B, H), jnp.float32)
         c_c[...] = jnp.zeros((nd, B, H), jnp.float32)
 
-    for d in range(nd):
-        h = h_c[d]
-        c = c_c[d]
-        for j in range(TT):
-            t = tb * TT + j
-            xp = xproj_ref[d, j].astype(jnp.float32) + b_ref[d][None, :]
-            hproj = jnp.dot(h.astype(jnp.bfloat16), wh_ref[d],
-                            preferred_element_type=jnp.float32)
-            gates = xp + hproj                           # [B, 4H] f32
-            gi = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-            gf = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-            gg = jnp.tanh(gates[:, 2 * H:3 * H])
-            go = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-            c_new = gf * c + gi * gg
-            h_new = go * jnp.tanh(c_new)
+    def step(d, j, h, c):
+        t = tb * TT + j
+        xp = xproj_ref[d, j].astype(jnp.float32) + b_ref[d][None, :]
+        hproj = jnp.dot(h.astype(jnp.bfloat16), wh_ref[d],
+                        preferred_element_type=jnp.float32)
+        gates = xp + hproj                           # [B, 4H] f32
+        gi = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        gf = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        gg = jnp.tanh(gates[:, 2 * H:3 * H])
+        go = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c_new = gf * c + gi * gg
+        h_new = go * jnp.tanh(c_new)
 
-            m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
-            mf = m.astype(jnp.float32)
-            c = mf * c_new + (1.0 - mf) * c
-            h = mf * h_new + (1.0 - mf) * h
-            h_out_ref[d, j] = (h * mf).astype(jnp.bfloat16)
-            c_out_ref[d, j] = c.astype(jnp.bfloat16)
-            gates_out_ref[d, j] = jnp.concatenate(
-                [gi, gf, gg, go], axis=1).astype(jnp.bfloat16)
-        h_c[d] = h
-        c_c[d] = c
+        m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
+        mf = m.astype(jnp.float32)
+        c = mf * c_new + (1.0 - mf) * c
+        h = mf * h_new + (1.0 - mf) * h
+        h_out_ref[d, j] = (h * mf).astype(jnp.bfloat16)
+        c_out_ref[d, j] = c.astype(jnp.bfloat16)
+        gates_out_ref[d, j] = jnp.concatenate(
+            [gi, gf, gg, go], axis=1).astype(jnp.bfloat16)
+        return h, c
+
+    if ilv and nd > 1:
+        # j-major over directions: adjacent trace ops belong to
+        # INDEPENDENT recurrence chains, giving the scheduler VPU gate
+        # math of one direction to run under the other's MXU hproj
+        # (the per-direction chain itself strictly alternates units)
+        hs = [h_c[d] for d in range(nd)]
+        cs = [c_c[d] for d in range(nd)]
+        for j in range(TT):
+            for d in range(nd):
+                hs[d], cs[d] = step(d, j, hs[d], cs[d])
+        for d in range(nd):
+            h_c[d], c_c[d] = hs[d], cs[d]
+    else:
+        for d in range(nd):
+            h, c = h_c[d], c_c[d]
+            for j in range(TT):
+                h, c = step(d, j, h, c)
+            h_c[d] = h
+            c_c[d] = c
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +257,8 @@ def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
 def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
                 wh_ref, start_ref, end_ref,
                 dxproj_ref, db_ref,
-                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int):
+                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int,
+                ilv: bool = False):
     """Grid (T/TT,) with index maps reversed. Within a block the BPTT
     chain runs j = TT-1 .. 0; c[t-1] comes from the same block (j-1) or
     from cprev (the block-(-1) view, clamped at 0 — the t==0
@@ -249,61 +274,76 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
         dc_c[...] = jnp.zeros((nd, B, H), jnp.float32)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    for d in range(nd):
-        dh = dh_c[d]
-        dc = dc_c[d]
-        db = db_ref[d]
+    def step(d, j, dh, dc, db):
+        t = tb * TT + j
+        not_first = (t > 0)
+        m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
+        mf = m.astype(jnp.float32)
+
+        gts = gates_ref[d, j].astype(jnp.float32)    # [B, 4H]
+        gi, gf = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
+        gg, go = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
+        c_t = c_ref[d, j].astype(jnp.float32)
+        cp = c_ref[d, j - 1] if j > 0 else cprev_ref[d, TT - 1]
+        c_prev = jnp.where(not_first, cp.astype(jnp.float32), 0.0)
+        tanh_c = jnp.tanh(c_t)
+
+        # A hand-factored "shared-subexpression" variant of this
+        # gate math (V2, VERDICT r1 #7) was A/B'd on hardware and
+        # DELETED: 5.055 vs 5.078 ms at B=128/H=512 and 3.460 vs
+        # 3.467 ms at B=32/H=800 — within 0.5%, far inside the ~5%
+        # run-to-run variance. Mosaic already CSEs these products;
+        # see DESIGN.md §4b.
+        dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
+        dh_new = mf * dh_total
+        dh_prev_direct = (1.0 - mf) * dh_total
+        do = dh_new * tanh_c
+        dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
+        dc_total = mf * dc + dc_from_h
+        dc_prev_direct = (1.0 - mf) * dc
+        df = dc_total * c_prev
+        di = dc_total * gg
+        dg = dc_total * gi
+        dc_prev_from_new = dc_total * gf
+
+        dpre_i = di * gi * (1.0 - gi)
+        dpre_f = df * gf * (1.0 - gf)
+        dpre_g = dg * (1.0 - gg * gg)
+        dpre_o = do * go * (1.0 - go)
+        dgates = jnp.concatenate(
+            [dpre_i, dpre_f, dpre_g, dpre_o], axis=1)
+
+        dxproj_ref[d, j] = dgates.astype(jnp.bfloat16)
+        db = db + jnp.sum(dgates, axis=0)
+
+        dh_prev = jax.lax.dot_general(
+            dgates.astype(jnp.bfloat16), wh_ref[d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [B, H]
+        dh = dh_prev_direct + dh_prev
+        dc = dc_prev_direct + dc_prev_from_new
+        return dh, dc, db
+
+    if ilv and nd > 1:
+        # j-major over directions (see _fwd_kernel): exposes direction
+        # d1's VPU gate math to run under d0's dh_prev matmul
+        dhs = [dh_c[d] for d in range(nd)]
+        dcs = [dc_c[d] for d in range(nd)]
+        dbs = [db_ref[d] for d in range(nd)]
         for j in reversed(range(TT)):
-            t = tb * TT + j
-            not_first = (t > 0)
-            m = (t >= start_ref[d]) & (t < end_ref[d])   # [B, 1]
-            mf = m.astype(jnp.float32)
-
-            gts = gates_ref[d, j].astype(jnp.float32)    # [B, 4H]
-            gi, gf = gts[:, 0 * H:1 * H], gts[:, 1 * H:2 * H]
-            gg, go = gts[:, 2 * H:3 * H], gts[:, 3 * H:4 * H]
-            c_t = c_ref[d, j].astype(jnp.float32)
-            cp = c_ref[d, j - 1] if j > 0 else cprev_ref[d, TT - 1]
-            c_prev = jnp.where(not_first, cp.astype(jnp.float32), 0.0)
-            tanh_c = jnp.tanh(c_t)
-
-            # A hand-factored "shared-subexpression" variant of this
-            # gate math (V2, VERDICT r1 #7) was A/B'd on hardware and
-            # DELETED: 5.055 vs 5.078 ms at B=128/H=512 and 3.460 vs
-            # 3.467 ms at B=32/H=800 — within 0.5%, far inside the ~5%
-            # run-to-run variance. Mosaic already CSEs these products;
-            # see DESIGN.md §4b.
-            dh_total = dh + mf * gout_ref[d, j].astype(jnp.float32)
-            dh_new = mf * dh_total
-            dh_prev_direct = (1.0 - mf) * dh_total
-            do = dh_new * tanh_c
-            dc_from_h = dh_new * go * (1.0 - tanh_c * tanh_c)
-            dc_total = mf * dc + dc_from_h
-            dc_prev_direct = (1.0 - mf) * dc
-            df = dc_total * c_prev
-            di = dc_total * gg
-            dg = dc_total * gi
-            dc_prev_from_new = dc_total * gf
-
-            dpre_i = di * gi * (1.0 - gi)
-            dpre_f = df * gf * (1.0 - gf)
-            dpre_g = dg * (1.0 - gg * gg)
-            dpre_o = do * go * (1.0 - go)
-            dgates = jnp.concatenate(
-                [dpre_i, dpre_f, dpre_g, dpre_o], axis=1)
-
-            dxproj_ref[d, j] = dgates.astype(jnp.bfloat16)
-            db = db + jnp.sum(dgates, axis=0)
-
-            dh_prev = jax.lax.dot_general(
-                dgates.astype(jnp.bfloat16), wh_ref[d],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [B, H]
-            dh = dh_prev_direct + dh_prev
-            dc = dc_prev_direct + dc_prev_from_new
-        dh_c[d] = dh
-        dc_c[d] = dc
-        db_ref[d] = db
+            for d in range(nd):
+                dhs[d], dcs[d], dbs[d] = step(d, j, dhs[d], dcs[d],
+                                              dbs[d])
+        for d in range(nd):
+            dh_c[d], dc_c[d], db_ref[d] = dhs[d], dcs[d], dbs[d]
+    else:
+        for d in range(nd):
+            dh, dc, db = dh_c[d], dc_c[d], db_ref[d]
+            for j in reversed(range(TT)):
+                dh, dc, db = step(d, j, dh, dc, db)
+            dh_c[d] = dh
+            dc_c[d] = dc
+            db_ref[d] = db
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +356,8 @@ def _run_fwd(xproj, b, wh, start, end, interpret):
     TT = _pick_tt(nd, B, H, G, T)
     nblk = -(-T // TT)
     xproj = _pad_time(xproj, nblk * TT)
-    kernel = functools.partial(_fwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    kernel = functools.partial(_fwd_kernel, B=B, H=H, nd=nd, TT=TT,
+                               ilv=INTERLEAVE_DIRS)
     const3 = lambda t: (0, 0, 0)  # noqa: E731
     const2 = lambda t: (0, 0)     # noqa: E731
     blk = lambda t: (0, t, 0, 0)  # noqa: E731
@@ -355,7 +396,8 @@ def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
     H = wh.shape[1]
     TT = _pick_tt(nd, B, H, G, Tp)
     nblk = Tp // TT
-    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
+    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT,
+                               ilv=INTERLEAVE_DIRS)
     rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
     # block-(-1) view, clamped (kernel zeroes the t==0 contribution)
     revm1 = lambda it: (0, jnp.maximum(nblk - 2 - it, 0), 0, 0)  # noqa: E731
