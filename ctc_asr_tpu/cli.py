@@ -6,7 +6,9 @@ one CLI:
 
     python -m ctc_asr_tpu.cli train --preset pr1_mfcc_uni \
         --data.train_manifest=... [--section.key=value ...]
-    python -m ctc_asr_tpu.cli evaluate --preset ... --ckpt ...
+    python -m ctc_asr_tpu.cli evaluate --preset ... --ckpt ... \
+        [--dump-utts a.json]
+    python -m ctc_asr_tpu.cli compare a.json b.json   # paired bootstrap
     python -m ctc_asr_tpu.cli transcribe --preset ... --ckpt ... wav...
     python -m ctc_asr_tpu.cli prepare-synth --out DIR [--n 64]
     python -m ctc_asr_tpu.cli prepare-librispeech --root DIR --out DIR
@@ -98,6 +100,9 @@ def cmd_evaluate(argv):
     _common(p)
     p.add_argument("--ckpt", required=True,
                    help="checkpoint .npz (or train dir)")
+    p.add_argument("--dump-utts", default="",
+                   help="write per-utterance (we,wc,ce,cc) records to "
+                        "this JSON for `cli compare` paired bootstraps")
     args = p.parse_args(rest)
     cfg = _load_cfg(args, overrides)
 
@@ -112,7 +117,40 @@ def cmd_evaluate(argv):
     state, _ = ckpt_mod.load_checkpoint(path, template)
     res = evaluate(cfg, state["params"])
     import json
+    per_utt = res.pop("per_utt", None)
+    if args.dump_utts and per_utt is not None:
+        with open(args.dump_utts, "w") as f:
+            json.dump({"ckpt": path, "per_utt": per_utt}, f)
     print(json.dumps(res, indent=2, default=float))
+    return 0
+
+
+def cmd_compare(argv):
+    """Paired-bootstrap comparison of two systems evaluated on the SAME
+    manifest: `cli compare a.json b.json` where each file is an
+    `evaluate --dump-utts` dump (or a ladder per_utt sidecar). Reports
+    the corpus-WER delta (A − B), its 95% CI, and p(A better) — the
+    honest way to call a winner between adjacent WER rows
+    (metrics.paired_bootstrap; VERDICT r3 next #1)."""
+    p = argparse.ArgumentParser(prog="compare")
+    p.add_argument("a")
+    p.add_argument("b")
+    p.add_argument("--resamples", type=int, default=2000)
+    args = p.parse_args(argv)
+    import json
+    from .metrics import paired_bootstrap
+    recs = []
+    for path in (args.a, args.b):
+        with open(path) as f:
+            recs.append(json.load(f)["per_utt"])
+    out = paired_bootstrap(recs[0], recs[1], n_resamples=args.resamples)
+    print(json.dumps(out, indent=2))
+    lo, hi = out["wer_delta_ci95"]
+    verdict = "A better" if hi < 0 else \
+        "B better" if lo > 0 else "statistically tied"
+    print(f"# {verdict} (delta={out['wer_delta']:+.4f}, "
+          f"CI95=[{lo:+.4f}, {hi:+.4f}], "
+          f"p_a_better={out['p_a_better']:.3f})")
     return 0
 
 
@@ -305,6 +343,7 @@ def cmd_prepare_features(argv):
 COMMANDS = {
     "train": cmd_train,
     "evaluate": cmd_evaluate,
+    "compare": cmd_compare,
     "transcribe": cmd_transcribe,
     "prepare-synth": cmd_prepare_synth,
     "prepare-synth-hard": cmd_prepare_synth_hard,

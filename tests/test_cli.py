@@ -119,3 +119,22 @@ def test_cli_prepare_corpus_tedlium(tmp_path):
                      "--out", str(out)]) == 0
     man = read_manifest(str(out / "tedlium_train.csv"))
     assert len(man) == 1 and man[0].transcript == "hello world"
+
+
+def test_cli_compare_paired_bootstrap(tmp_path, capsys):
+    """`cli compare` on two per-utterance dumps: decisive winner and
+    the tied case both report correctly."""
+    import json
+    from ctc_asr_tpu.cli import main as cli_main
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps(
+        {"per_utt": [[0, 4, 0, 10]] * 50}))
+    b.write_text(json.dumps(
+        {"per_utt": [[1, 4, 2, 10]] * 50}))
+    assert cli_main(["compare", str(a), str(b)]) == 0
+    out = capsys.readouterr().out
+    assert "A better" in out
+    assert cli_main(["compare", str(a), str(a)]) == 0
+    out = capsys.readouterr().out
+    assert "statistically tied" in out
