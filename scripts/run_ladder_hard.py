@@ -272,6 +272,13 @@ def main():
         import shutil
         os.makedirs(args.archive, exist_ok=True)
         shutil.copy(results_path, args.archive)
+        # per-utterance sidecars ride along: they are the inputs to the
+        # paired-bootstrap comparisons (cli compare / analyze_ladder)
+        if os.path.isdir(utt_dir):
+            dst = os.path.join(args.archive, "per_utt")
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(utt_dir):
+                shutil.copy(os.path.join(utt_dir, f), dst)
         for d in sorted(os.listdir(args.out)):
             mj = os.path.join(args.out, d, "metrics.jsonl")
             if d.startswith("train_") and os.path.exists(mj):
