@@ -44,29 +44,19 @@ from ..config import FeatureConfig
 
 FRAME_TILE = 128
 
-# bf16 split-float DFT (VERDICT r3 next #4 / STATUS round-3 projection):
-# the DFT segment matmuls are the kernel's MXU time and ran f32 (the MXU
-# multi-passes f32); with x = xh + xl and W = Wh + Wl (bf16 splits,
-# each residual 2^-8 relative) the product xh@Wh + xh@Wl + xl@Wh
-# reproduces the f32 result to ~2^-16 relative — 3 native-rate bf16
-# matmuls instead of one multi-pass f32. A/B harness:
-# scripts/diag_stft_split.py; the default below follows the hardware
-# verdict recorded there and in docs/DESIGN.md §4b.
-SPLIT_DFT = True
+# A bf16 SPLIT-FLOAT DFT variant (x = xh+xl, W = Wh+Wl bf16 splits;
+# xh@Wh + xh@Wl + xl@Wh — the round-3 "projected 0.5-1 ms" candidate,
+# VERDICT r3 next #4) was implemented, parity-verified, A/B'd on
+# hardware and DELETED: at B=128 x 8 s the split kernel measured
+# 2.916 ms vs 1.470 ms for the straight f32 matmuls — 2x SLOWER.
+# Mosaic's f32 MXU lowering is already near its multi-pass optimum
+# (a single bf16 pass is only ~1.5x faster than the full f32 matmul
+# here), so three explicit bf16 matmuls plus per-segment VPU splits
+# cost more than the f32 form. Numbers + conclusion: DESIGN.md §4b.
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _split_bf16(a: np.ndarray):
-    """a (f32) -> (hi, lo) bf16 with a ~= hi + lo."""
-    import jax.numpy as _jnp
-    hi = np.asarray(_jnp.asarray(a).astype(_jnp.bfloat16))
-    lo = np.asarray((_jnp.asarray(a)
-                     - _jnp.asarray(hi).astype(_jnp.float32))
-                    .astype(_jnp.bfloat16))
-    return hi, lo
 
 
 @functools.lru_cache(maxsize=8)
@@ -112,7 +102,7 @@ def _dma_tile(rows_hbm, buf, sem, b, tile, slot, buf_rows):
 def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
                  out_ref, buf, sem, *, n_seg: int, use_dct: bool,
                  log_floor: float, num_tiles: int, n_b: int,
-                 buf_rows: int, split: bool):
+                 buf_rows: int):
     """Grid (B, num_tiles). rows_hbm: [B, R, hop_pad] in HBM; buf: VMEM
     scratch [2, buf_rows, hop_pad] (double-buffered); constants
     VMEM-resident.
@@ -147,42 +137,17 @@ def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
     def _compute(s):
         _dma_tile(rows_hbm, buf, sem, b, tile, s, buf_rows).wait()
         cur = buf[s]
-        if split:
-            # bf16 split of the sample rows (done once per tile; the
-            # per-segment shifts roll both halves)
-            cur_h = cur.astype(jnp.bfloat16)
-            cur_l = (cur - cur_h.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def basis_dot(xh, xl, ref, k):
-                wh, wl = ref[2 * k], ref[2 * k + 1]
-                return (jnp.dot(xh, wh,
-                                preferred_element_type=jnp.float32)
-                        + jnp.dot(xh, wl,
-                                  preferred_element_type=jnp.float32)
-                        + jnp.dot(xl, wh,
-                                  preferred_element_type=jnp.float32))
-
-            re = basis_dot(cur_h[0:FRAME_TILE], cur_l[0:FRAME_TILE],
-                           cos_ref, 0)
-            im = basis_dot(cur_h[0:FRAME_TILE], cur_l[0:FRAME_TILE],
-                           msin_ref, 0)
-            for k in range(1, n_seg):
-                sh = pltpu.roll(cur_h, buf_rows - k, axis=0)[0:FRAME_TILE]
-                sl = pltpu.roll(cur_l, buf_rows - k, axis=0)[0:FRAME_TILE]
-                re = re + basis_dot(sh, sl, cos_ref, k)
-                im = im + basis_dot(sh, sl, msin_ref, k)
-        else:
-            re = jnp.dot(cur[0:FRAME_TILE], cos_ref[0],
-                         preferred_element_type=jnp.float32)
-            im = jnp.dot(cur[0:FRAME_TILE], msin_ref[0],
-                         preferred_element_type=jnp.float32)
-            for k in range(1, n_seg):
-                # rows k..k+127 == roll up by k, take the first 128 rows
-                seg = pltpu.roll(cur, buf_rows - k, axis=0)[0:FRAME_TILE]
-                re = re + jnp.dot(seg, cos_ref[k],
-                                  preferred_element_type=jnp.float32)
-                im = im + jnp.dot(seg, msin_ref[k],
-                                  preferred_element_type=jnp.float32)
+        re = jnp.dot(cur[0:FRAME_TILE], cos_ref[0],
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(cur[0:FRAME_TILE], msin_ref[0],
+                     preferred_element_type=jnp.float32)
+        for k in range(1, n_seg):
+            # rows k..k+127 == roll up by k, take the first 128 rows
+            seg = pltpu.roll(cur, buf_rows - k, axis=0)[0:FRAME_TILE]
+            re = re + jnp.dot(seg, cos_ref[k],
+                              preferred_element_type=jnp.float32)
+            im = im + jnp.dot(seg, msin_ref[k],
+                              preferred_element_type=jnp.float32)
         power = re * re + im * im                            # [TT, bins]
         mel = jnp.dot(power, mel_ref[...],
                       preferred_element_type=jnp.float32)
@@ -200,16 +165,12 @@ def _stft_kernel(rows_hbm, cos_ref, msin_ref, mel_ref, dct_ref,
 
 def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
                     log_floor: float = 1e-6,
-                    interpret: bool = False,
-                    split_dft: bool | None = None) -> jnp.ndarray:
+                    interpret: bool = False) -> jnp.ndarray:
     """[B, S] float32 samples -> [B, T, F] features (mel or mfcc).
 
     Matches ``features._jnp_features`` (un-normalized); caller applies
     masking/normalization. Frame count T matches the reference path.
-    ``split_dft`` overrides the module default SPLIT_DFT (bf16
-    split-float DFT matmuls; see the constant's note).
     """
-    split = SPLIT_DFT if split_dft is None else split_dft
     B, S = samples.shape
     W, hop = cfg.win_length, cfg.hop_length
     T = max(1, feat_mod.num_frames(S, cfg))
@@ -253,19 +214,9 @@ def features_pallas(samples: jnp.ndarray, cfg: FeatureConfig,
     dct = feat_mod.dct_matrix(cfg.n_mels, cfg.n_mfcc) if use_dct else \
         np.zeros((cfg.n_mels, 1), np.float32)
 
-    if split:
-        # interleaved [2*n_seg, hop_pad, bins] bf16: [2k] = hi, [2k+1]
-        # = lo residual of segment k (see _stft_kernel.basis_dot)
-        def interleave(segs):
-            hi, lo = _split_bf16(segs)
-            return np.stack([hi, lo], axis=1).reshape(
-                2 * segs.shape[0], *segs.shape[1:])
-        cos_segs = interleave(cos_segs)
-        msin_segs = interleave(msin_segs)
-
     kernel = functools.partial(_stft_kernel, n_seg=n_seg, use_dct=use_dct,
                                log_floor=log_floor, num_tiles=num_tiles,
-                               n_b=B, buf_rows=buf_rows, split=split)
+                               n_b=B, buf_rows=buf_rows)
     const3 = lambda *_: (0, 0, 0)  # noqa: E731
     const2 = lambda *_: (0, 0)     # noqa: E731
     out = pl.pallas_call(
