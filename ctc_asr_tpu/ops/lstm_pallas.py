@@ -77,12 +77,16 @@ _VMEM_LIMIT_BYTES = 100 << 20
 # (ADVICE r3).
 _SMALL_VMEM_BUDGET = 12 << 20
 
-# Direction-interleaved (j-major) LSTM kernel loops: candidate for the
-# documented BPTT VPU slack (VERDICT r3 next #4) — adjacent trace ops
-# belong to independent direction chains so the scheduler can hide one
-# direction's gate math under the other's recurrence matmul. Decided
-# by hardware A/B (diag_vmem_envelope --interleave); see DESIGN.md §4b.
-INTERLEAVE_DIRS = False
+# A direction-INTERLEAVED (j-major) loop variant of both kernels —
+# candidate for the documented BPTT VPU slack (VERDICT r3 next #4) —
+# was built, parity-pinned bitwise, A/B'd on hardware and DELETED:
+# five paired runs at nd=2/B=32/H=512 averaged 1.405 (direction-major)
+# vs 1.397 ms (interleaved) with ±15% run scatter, B=32/H=800 within
+# 4%, B=128/H=512 a slight loss (4.9-5.05 vs 5.03 ms). The d-loop
+# bodies are already trace-independent, so Mosaic's scheduler extracts
+# the available cross-direction overlap either way; the remaining
+# VPU-gate-math gap is a measured wall, not a scheduling artifact.
+# Numbers + conclusion: DESIGN.md §4b.
 
 
 @functools.lru_cache(maxsize=1)
@@ -194,8 +198,7 @@ def _pad_time(x, Tp):
 
 def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
                 h_out_ref, c_out_ref, gates_out_ref,
-                h_c, c_c, *, B: int, H: int, nd: int, TT: int,
-                ilv: bool = False):
+                h_c, c_c, *, B: int, H: int, nd: int, TT: int):
     """Grid (T/TT,). Blocks: xproj [nd, TT, B, 4H] bf16; b [nd, 4H] f32
     and wh [nd, H, 4H] resident; start/end [nd, B, 1] resident; outs
     per-block [nd, TT, B, *] bf16; scratch h/c [nd, B, H] f32 carried."""
@@ -229,25 +232,12 @@ def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
             [gi, gf, gg, go], axis=1).astype(jnp.bfloat16)
         return h, c
 
-    if ilv and nd > 1:
-        # j-major over directions: adjacent trace ops belong to
-        # INDEPENDENT recurrence chains, giving the scheduler VPU gate
-        # math of one direction to run under the other's MXU hproj
-        # (the per-direction chain itself strictly alternates units)
-        hs = [h_c[d] for d in range(nd)]
-        cs = [c_c[d] for d in range(nd)]
+    for d in range(nd):
+        h, c = h_c[d], c_c[d]
         for j in range(TT):
-            for d in range(nd):
-                hs[d], cs[d] = step(d, j, hs[d], cs[d])
-        for d in range(nd):
-            h_c[d], c_c[d] = hs[d], cs[d]
-    else:
-        for d in range(nd):
-            h, c = h_c[d], c_c[d]
-            for j in range(TT):
-                h, c = step(d, j, h, c)
-            h_c[d] = h
-            c_c[d] = c
+            h, c = step(d, j, h, c)
+        h_c[d] = h
+        c_c[d] = c
 
 
 # ---------------------------------------------------------------------------
@@ -257,8 +247,7 @@ def _fwd_kernel(xproj_ref, b_ref, wh_ref, start_ref, end_ref,
 def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
                 wh_ref, start_ref, end_ref,
                 dxproj_ref, db_ref,
-                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int,
-                ilv: bool = False):
+                dh_c, dc_c, *, B: int, H: int, nd: int, TT: int):
     """Grid (T/TT,) with index maps reversed. Within a block the BPTT
     chain runs j = TT-1 .. 0; c[t-1] comes from the same block (j-1) or
     from cprev (the block-(-1) view, clamped at 0 — the t==0
@@ -324,26 +313,13 @@ def _bwd_kernel(gout_ref, gates_ref, c_ref, cprev_ref,
         dc = dc_prev_direct + dc_prev_from_new
         return dh, dc, db
 
-    if ilv and nd > 1:
-        # j-major over directions (see _fwd_kernel): exposes direction
-        # d1's VPU gate math to run under d0's dh_prev matmul
-        dhs = [dh_c[d] for d in range(nd)]
-        dcs = [dc_c[d] for d in range(nd)]
-        dbs = [db_ref[d] for d in range(nd)]
+    for d in range(nd):
+        dh, dc, db = dh_c[d], dc_c[d], db_ref[d]
         for j in reversed(range(TT)):
-            for d in range(nd):
-                dhs[d], dcs[d], dbs[d] = step(d, j, dhs[d], dcs[d],
-                                              dbs[d])
-        for d in range(nd):
-            dh_c[d], dc_c[d], db_ref[d] = dhs[d], dcs[d], dbs[d]
-    else:
-        for d in range(nd):
-            dh, dc, db = dh_c[d], dc_c[d], db_ref[d]
-            for j in reversed(range(TT)):
-                dh, dc, db = step(d, j, dh, dc, db)
-            dh_c[d] = dh
-            dc_c[d] = dc
-            db_ref[d] = db
+            dh, dc, db = step(d, j, dh, dc, db)
+        dh_c[d] = dh
+        dc_c[d] = dc
+        db_ref[d] = db
 
 
 # ---------------------------------------------------------------------------
@@ -356,8 +332,7 @@ def _run_fwd(xproj, b, wh, start, end, interpret):
     TT = _pick_tt(nd, B, H, G, T)
     nblk = -(-T // TT)
     xproj = _pad_time(xproj, nblk * TT)
-    kernel = functools.partial(_fwd_kernel, B=B, H=H, nd=nd, TT=TT,
-                               ilv=INTERLEAVE_DIRS)
+    kernel = functools.partial(_fwd_kernel, B=B, H=H, nd=nd, TT=TT)
     const3 = lambda t: (0, 0, 0)  # noqa: E731
     const2 = lambda t: (0, 0)     # noqa: E731
     blk = lambda t: (0, t, 0, 0)  # noqa: E731
@@ -396,8 +371,7 @@ def _run_bwd(g_out, gates, c_seq, wh, start, end, interpret):
     H = wh.shape[1]
     TT = _pick_tt(nd, B, H, G, Tp)
     nblk = Tp // TT
-    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT,
-                               ilv=INTERLEAVE_DIRS)
+    kernel = functools.partial(_bwd_kernel, B=B, H=H, nd=nd, TT=TT)
     rev = lambda it: (0, nblk - 1 - it, 0, 0)                 # noqa: E731
     # block-(-1) view, clamped (kernel zeroes the t==0 contribution)
     revm1 = lambda it: (0, jnp.maximum(nblk - 2 - it, 0), 0, 0)  # noqa: E731

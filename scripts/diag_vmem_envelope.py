@@ -90,29 +90,12 @@ def main():
                     help="semicolon list of nd,B,H triples")
     ap.add_argument("--t", type=int, default=400)
     ap.add_argument("--force-tt", type=int, default=None)
-    ap.add_argument("--interleave", action="store_true",
-                    help="A/B the direction-interleaved (j-major) "
-                         "kernel loops against the default at each "
-                         "geometry (lstm_pallas.INTERLEAVE_DIRS; "
-                         "VERDICT r3 next #4 VPU-overlap candidate)")
     args = ap.parse_args()
     geoms = DEFAULT_GEOMS
     if args.geoms:
         geoms = [tuple(int(x) for x in g.split(","))
                  for g in args.geoms.split(";")]
     import json
-    if args.interleave:
-        results = []
-        for nd, B, H in geoms:
-            for ilv in (False, True):
-                lstm_pallas.INTERLEAVE_DIRS = ilv
-                print(f"--- interleave={ilv}", flush=True)
-                r = probe(nd, B, H, args.t, args.force_tt)
-                r["interleave"] = ilv
-                results.append(r)
-        lstm_pallas.INTERLEAVE_DIRS = False
-        print(json.dumps(results))
-        return
     results = [probe(nd, B, H, args.t, args.force_tt) for nd, B, H in geoms]
     print(json.dumps(results))
 

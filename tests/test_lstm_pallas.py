@@ -240,34 +240,3 @@ def test_pick_tt_never_exceeds_t():
     from ctc_asr_tpu.ops.lstm_pallas import _pick_tt
     assert _pick_tt(2, 8, 64, 256, 3) <= 3
     assert _pick_tt(1, 2, 8, 32, 1) == 1
-
-
-def test_interleaved_dirs_parity(monkeypatch):
-    """INTERLEAVE_DIRS (j-major direction loops — the VPU-overlap
-    candidate, DESIGN.md §4b) computes the IDENTICAL recurrence: bi
-    forward and gradients match the default direction-major kernel
-    bitwise in interpret mode."""
-    from ctc_asr_tpu.ops import lstm_pallas
-    T, B, F, H = 7, 2, 4, 8
-    params = _params_bi(F, H)
-    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
-    lengths = jnp.asarray([7, 4])
-    w = jax.random.normal(jax.random.PRNGKey(4), (T, B, 2 * H))
-
-    def run():
-        def f(p, xx):
-            out = birnn_apply(p, xx, lengths, "lstm", jnp.float32,
-                              use_pallas=True, interpret=True)
-            return jnp.sum(out * w)
-        val = f(params, x)
-        g = jax.grad(f, argnums=(0, 1))(params, x)
-        return val, g
-
-    monkeypatch.setattr(lstm_pallas, "INTERLEAVE_DIRS", False)
-    v0, g0 = run()
-    monkeypatch.setattr(lstm_pallas, "INTERLEAVE_DIRS", True)
-    v1, g1 = run()
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
