@@ -79,12 +79,10 @@ class ModelConfig:
     # sweep). Auto-falls back to fullband when no 128-lane output-freq
     # tiling exists.
     conv_blocked_fwd: bool = True
-    # first-party Pallas banded-conv kernel (ops/conv_pallas.py). Off by
-    # default: XLA's 1-D banded conv is already near roofline for the
-    # DS2 shapes (diag_conv.py --mode kernels: 1.6 vs 2.2 ms fwd+bwd) — the kernel exists
-    # for shapes/fusions XLA handles poorly and as the BASELINE.json:5
-    # conv-frontend kernel; parity-tested either way.
-    use_pallas_conv: bool = False
+    # NOTE: a Pallas banded-conv kernel existed behind a use_pallas_conv
+    # flag through round 3 and was A/B'd out in round 4 (piece-level
+    # measurement in DESIGN.md §4b): the committed banded-matmul XLA
+    # formulation below IS the measured-fastest conv path on v5e.
     # recurrent stack
     rnn_type: str = "lstm"  # "lstm" | "gru" | "rnn" (plain tanh cell)
     rnn_layers: int = 2

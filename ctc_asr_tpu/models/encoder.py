@@ -115,11 +115,7 @@ def apply_encoder(params: dict, feats: jnp.ndarray,
                 x = dropout(next(rngs), x, cfg.dropout, train)
         out_lens = frame_lengths.astype(jnp.int32)
     else:  # conv
-        from ..ops.dispatch import resolve_use_pallas
-        if resolve_use_pallas(cfg.use_pallas_conv):
-            from ..ops.conv_pallas import conv2d_pallas_apply
-            conv_fn = conv2d_pallas_apply
-        elif cfg.conv_as_matmul:
+        if cfg.conv_as_matmul:
             conv_fn = (conv2d_blocked_apply if cfg.conv_blocked_fwd
                        else conv2d_matmul_apply)
         else:

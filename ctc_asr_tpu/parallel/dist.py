@@ -82,8 +82,7 @@ def _without_pallas(cfg: Config) -> Config:
     return dc.replace(
         cfg,
         features=dc.replace(cfg.features, use_pallas=False),
-        model=dc.replace(cfg.model, use_pallas_rnn=False,
-                         use_pallas_conv=False),
+        model=dc.replace(cfg.model, use_pallas_rnn=False),
         train=dc.replace(cfg.train, use_pallas_ctc=False),
         decode=dc.replace(cfg.decode, use_pallas=False))
 
@@ -96,8 +95,7 @@ def _hybrid_cfg(cfg: Config) -> Config:
     loss — keep running inside manual shard_map islands."""
     import dataclasses as dc
     return dc.replace(
-        cfg, model=dc.replace(cfg.model, use_pallas_rnn=False,
-                              use_pallas_conv=False))
+        cfg, model=dc.replace(cfg.model, use_pallas_rnn=False))
 
 
 def _batch_islands(cfg: Config, mesh):

@@ -1,4 +1,4 @@
-"""Conv-frontend diagnostic suite (consolidates the round-1 one-offs
+"""Conv-frontend diagnostic suite (modes: blocked, bwd) (consolidates the round-1 one-offs
 diag_conv{,2..8,_bwd}.py into one parameterized script, VERDICT r1 #9).
 
 All modes use the RTT-corrected chained protocol from diag_common
@@ -6,10 +6,9 @@ All modes use the RTT-corrected chained protocol from diag_common
 see BASELINE.md "Timing methodology notes").
 
 Modes:
-  kernels  Pallas banded-conv kernel vs the committed XLA banded conv
-           (raw kernel pieces + E2E both-convs fwd / fwd+bwd)
-           [was diag_conv7; result: raw kernels at roofline but XLA
-           banded wins E2E — kernel stays flag-gated]
+  (a former `kernels` mode A/B'd the Pallas banded-conv kernel; the
+  kernel lost its bake-off and was deleted in round 4 — see the note
+  above mode_blocked and DESIGN.md §4b)
   blocked  fullband conv2d_matmul_apply vs the committed frequency-
            blocked conv2d_blocked_apply at large batch, with true-FLOP
            roofline columns [was diag_conv8; result: blocked wins at
@@ -18,7 +17,7 @@ Modes:
            with true- and banded-FLOP rooflines [was diag_conv_bwd;
            result: banded formulation executes at ~93% of MXU peak]
 
-Usage: python scripts/diag_conv.py --mode {kernels,blocked,bwd} [-B N]
+Usage: python scripts/diag_conv.py --mode {blocked,bwd} [-B N]
 """
 
 import argparse
@@ -58,71 +57,14 @@ def true_fwd_flops(B):
             + conv_flops(B, t1, f1 // 2, 32, 11, 21, 32))
 
 
-def mode_kernels(B):
-    """Raw Pallas banded kernel pieces + E2E XLA-banded vs Pallas."""
-    from ctc_asr_tpu.ops.conv_pallas import (_conv_fwd_pallas,
-                                             band_matrices,
-                                             conv2d_pallas_apply)
-    rng = jax.random.PRNGKey(0)
-    ks = jax.random.split(rng, 8)
-
-    # raw banded-kernel shapes for the two DS2 convs at B
-    x1 = jax.device_put(jax.random.normal(ks[2], (B, 534, 256),
-                                          jnp.bfloat16))
-    w1 = jax.device_put(jax.random.normal(ks[3], (6, 256, 1280),
-                                          jnp.bfloat16) * 0.05)
-    x2 = jax.device_put(jax.random.normal(ks[0], (B, 522, 1280),
-                                          jnp.bfloat16))
-    w2 = jax.device_put(jax.random.normal(ks[1], (11, 1280, 640),
-                                          jnp.bfloat16) * 0.05)
-    timed("raw kernel conv1 fwd", {"x": x1, "w": w1},
-          lambda p: (jnp.sum(_conv_fwd_pallas(p["x"], p["w"])
-                             .astype(jnp.float32)) * 1e-6, None))
-    timed("raw kernel conv2 fwd", {"x": x2, "w": w2},
-          lambda p: (jnp.sum(_conv_fwd_pallas(p["x"], p["w"])
-                             .astype(jnp.float32)) * 1e-6, None))
-
-    g2 = jax.device_put(jax.random.normal(ks[4], (B, 512, 640),
-                                          jnp.bfloat16))
-
-    def dw_only(p):
-        out_len = 512
-        dw = jnp.stack([
-            jnp.einsum("btk,btn->kn", p["x"][:, k:k + out_len], g2,
-                       preferred_element_type=jnp.float32)
-            for k in range(11)])
-        return jnp.sum(dw) * 1e-6, None
-    timed("dW einsums conv2", {"x": x2}, dw_only)
-
-    gp = jax.device_put(jax.random.normal(ks[5], (B, 532, 640),
-                                          jnp.bfloat16))
-    wrev = jax.device_put(jnp.swapaxes(jnp.flip(w2, 0), 1, 2))
-    timed("dx kernel conv2", {"x": gp, "w": wrev},
-          lambda p: (jnp.sum(_conv_fwd_pallas(p["x"], p["w"])
-                             .astype(jnp.float32)) * 1e-6, None))
-
-    x_raw = jax.device_put(jax.random.normal(ks[6], (B, T - 1, F, 1)))
-    params = _ds2_params(ks[7])
-    timed("band assembly conv1+conv2", params,
-          lambda pp: (jnp.sum(band_matrices(pp["c1"]["w"], F, 2))
-                      + jnp.sum(band_matrices(pp["c2"]["w"], F // 2, 2)),
-                      None))
-
-    for name, fn in (("xla-banded", conv2d_matmul_apply),
-                     ("pallas", conv2d_pallas_apply)):
-        def fwd(p, fn=fn):
-            y1 = jnp.clip(fn(p["c1"], x_raw, (2, 2)), 0, 20)
-            y2 = fn(p["c2"], y1, (1, 2))
-            return jnp.sum(y2.astype(jnp.float32)) * 1e-6, None
-
-        def fwdbwd(p, fn=fn):
-            def loss(pp):
-                y1 = jnp.clip(fn(pp["c1"], x_raw, (2, 2)), 0, 20)
-                y2 = fn(pp["c2"], y1, (1, 2))
-                return jnp.sum(jnp.square(y2.astype(jnp.float32))) * 1e-6
-            return jax.value_and_grad(loss)(p)
-        timed(f"{name} both-convs fwd", params, fwd)
-        timed(f"{name} both-convs fwd+bwd", params, fwdbwd)
+# mode_kernels (the Pallas banded-conv kernel vs XLA bake-off) was
+# removed with the kernel in round 4. Final piece-level measurement
+# (B=16, chained, RTT-corrected): raw Pallas kernels conv1 0.145 +
+# conv2 0.630 ms fwd vs XLA-banded BOTH-convs E2E 0.807 ms fwd — XLA's
+# end-to-end time already matches the raw kernel compute, so no glue
+# reduction could produce a meaningful win; E2E fwd+bwd 2.656 (XLA) vs
+# 3.216 ms (Pallas). One conv path remains: the banded-matmul XLA
+# formulation (models/layers.py). See DESIGN.md §4b.
 
 
 def mode_blocked(B):
@@ -213,12 +155,12 @@ def mode_bwd(B):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("kernels", "blocked", "bwd"),
+    ap.add_argument("--mode", choices=("blocked", "bwd"),
                     default="blocked")
     ap.add_argument("-B", type=int, default=None,
-                    help="batch (default: 16 for kernels, 128 otherwise)")
+                    help="batch (default 128)")
     args = ap.parse_args()
-    B = args.B or (16 if args.mode == "kernels" else 128)
+    B = args.B or 128
     print(f"[diag_conv] mode={args.mode} B={B}")
-    {"kernels": mode_kernels, "blocked": mode_blocked,
+    {"blocked": mode_blocked,
      "bwd": mode_bwd}[args.mode](B)
