@@ -40,12 +40,12 @@ def build_cfg(arm: str):
     elif arm == "ds3":
         # BASELINE.json:9 flagship: conv frontend + 5x BiLSTM-800 (37M).
         # First-class tuned record (VERDICT r3 next #3) — batch from the
-        # r4 hardware sweep (BASELINE.md): B=48: 4.48k, B=64: 4.64k
-        # audio-s/s/chip (B>=96 exceeds single-chip HBM at T'=400:
-        # 13.5G request vs ~12.6G usable).
+        # r4 hardware sweep (BASELINE.md): B=32: 4.85k, B=48: 5.35k,
+        # B=64: 5.64k, B=96: 5.63k, B=128: 5.86k (peak, MFU 0.674),
+        # B=160: 5.61k audio-s/s/chip.
         model = ModelConfig(frontend="conv", rnn_layers=5, rnn_units=800,
                             bidirectional=True, dropout=0.0)
-        batch, seconds = 64, 8.0
+        batch, seconds = 128, 8.0
     else:  # "ds2" default
         # The BASELINE.json:8 config family: conv frontend + 3x BiLSTM.
         # B=128 after the batch sweep (BASELINE.md): per-step cost is
