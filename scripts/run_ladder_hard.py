@@ -172,6 +172,15 @@ def main():
                 train_dir=os.path.join(args.out, "train_ds2_specaug")))
             train_and_eval(sa, "conv_bilstm3+specaug", "greedy")
 
+    if "ds2sa" in rungs:
+        # SpecAugment arm alone (skip retraining plain ds2 when its
+        # ranking is already settled — r4 paired bootstrap was decisive)
+        cfg = rung_cfg("conv_bilstm3", man, args.out, "ds2_specaug",
+                       int(2000 * sc), args.batch, 5e-4)
+        cfg = dc.replace(cfg, train=dc.replace(cfg.train,
+                                               specaugment=True))
+        train_and_eval(cfg, "conv_bilstm3+specaug", "greedy")
+
     def run_ds3_chain(rung, specaug):
         """One ds3 training run serves the greedy-diagnostic, beam,
         +charLM and +wordLM rungs. ``specaug`` arms the r3-measured WER
