@@ -336,15 +336,28 @@ def train(cfg: Config, max_steps: int | None = None,
     it = iter(loader)
     dev_it = device_batches(it, loader=loader, put=put)
     start_step = int(state["step"])
+    # Async dispatch with bounded runahead: the loop tracks the step
+    # counter HOST-side (it advances by exactly 1 per step_fn call, so
+    # host and device counters agree by construction) instead of
+    # fetching int(state["step"]) every iteration — that fetch was a
+    # full host<->device round trip per step (~25 ms through the axon
+    # PJRT tunnel, serialized against the step itself), turning a
+    # ~17 ms device step into a >40 ms wall step. Now the host only
+    # blocks on a result every sync_every steps (log/eval/ckpt hooks
+    # also sync naturally), keeping <= sync_every steps' input batches
+    # in flight on the device.
+    sync_every = max(1, tcfg.sync_every)
     t_last = time.perf_counter()
     try:
       with maybe_trace(tcfg.profile_dir):
-        for _ in range(start_step, total):
+        for i in range(start_step, total):
             batch, (d_samples, d_slens, d_labels, d_llens) = next(dev_it)
             state, m = step_fn(state, d_samples, d_slens,
                                d_labels, d_llens)
             meter.update(batch.audio_seconds)
-            step = int(state["step"])
+            step = i + 1
+            if step % sync_every == 0 or step == total:
+                jax.block_until_ready(m["loss"])
             if heartbeat is not None:
                 heartbeat.beat(step)
 
