@@ -77,6 +77,14 @@ def build_feature_cache(manifest, data_cfg: DataConfig,
 
     _check_cacheable(feat_cfg)
     os.makedirs(out_dir, exist_ok=True)
+    # Cache the WHOLE manifest: neutralize the length/label filters so a
+    # train-time config with wider bounds than the prepare-features
+    # invocation cannot hit "utterance not in cache" (bucket shapes are
+    # quantile-derived from actual durations, not from these bounds, so
+    # widening them only adds utterances).
+    data_cfg = dataclasses.replace(
+        data_cfg, min_audio_seconds=0.0, max_audio_seconds=float("inf"),
+        max_label_len=10 ** 9)
     loader = DataLoader(manifest, data_cfg, feat_cfg, drop_last=False)
     entries: dict[str, list] = {}
     offset = 0

@@ -112,3 +112,20 @@ def test_batch_dependent_normalization_rejected(corpus, tmp_path):
                              stats_path="")
     with pytest.raises(ValueError, match="stats_path"):
         build_feature_cache(corpus, DATA_CFG, fc, str(tmp_path / "c"))
+
+
+def test_build_ignores_length_filters(corpus, tmp_path):
+    """prepare-features caches the WHOLE manifest: a builder invoked
+    with tighter length bounds than the eventual train config must not
+    produce 'utterance not in cache' at train time (hit on the r4big
+    ladder: the preset default min_audio_seconds=0.7 silently dropped
+    0.3-0.7 s utterances from the cache)."""
+    durations = [u.duration for u in corpus]
+    lo, hi = min(durations), max(durations)
+    tight = dataclasses.replace(DATA_CFG, min_audio_seconds=lo + 1e-4,
+                                max_audio_seconds=hi - 1e-4)
+    out = str(tmp_path / "cache")
+    build_feature_cache(corpus, tight, FEAT_CFG, out, progress_every=0)
+    cache = FeatureCache(out, FEAT_CFG)
+    for u in corpus:
+        assert u.path in cache, u.path
