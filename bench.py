@@ -14,8 +14,17 @@ North-star metrics per BASELINE.json:2 — audio-seconds/s/chip for
 training and decode RTF at matched WER. The reference repo has no
 retrievable published throughput (BASELINE.md: "published": {}), so
 ``vs_baseline`` is the ratio against the pure-JAX (non-Pallas) path of
-THIS framework measured in the same run when --compare is on, else 1.0;
-BASELINE.md's measured-baseline table records absolute values per round.
+THIS framework measured in the same run when ``--compare`` is on, else
+1.0; BASELINE.md's measured-baseline table records absolute values per
+round.
+
+The default line also carries the ds3 FLAGSHIP arm as secondary keys
+(``ds3_value``, ``ds3_step_mfu``; --no-ds3 skips) and, when converged
+bench assets exist (--decode-ckpt/--decode-manifest, the
+CTC_ASR_BENCH_CKPT/CTC_ASR_BENCH_MANIFEST env vars, or the default
+/tmp/ctc_asr_tpu/bench_assets/{ckpt,manifest.csv}), the converged
+decode RTF at matched WER — so the driver-captured artifact shows both
+north-star arms without extra flags (VERDICT r4 next #7).
 
 Runs on whatever jax.devices() provides (the driver invokes it on one
 real TPU chip; CPU works for smoke via --steps 3 --tiny).
@@ -342,6 +351,14 @@ def main():
     ap.add_argument("--decode-manifest", default="",
                     help="manifest of real utterances for the converged "
                          "decode (pairs with --decode-ckpt)")
+    ap.add_argument("--no-ds3", action="store_true",
+                    help="skip the ds3 flagship secondary record")
+    ap.add_argument("--compare", action="store_true",
+                    help="also bench the pure-XLA (non-Pallas) twin "
+                         "path and report vs_baseline = pallas/xla "
+                         "throughput ratio (the only baseline that "
+                         "exists: the reference has no published "
+                         "numbers, BASELINE.md)")
     args = ap.parse_args()
 
     import jax
@@ -353,6 +370,8 @@ def main():
     if args.seconds:
         seconds = args.seconds
 
+    kind = str(devs[0].device_kind if hasattr(devs[0], "device_kind")
+               else devs[0])
     tput, step_time, dev_step_time, step_fn, state = bench_train(
         cfg, batch, seconds, args.steps, args.warmup)
     per_chip = tput / n_chips
@@ -374,26 +393,75 @@ def main():
         except Exception as e:  # pragma: no cover - defensive
             extra["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if args.decode_ckpt and args.decode_manifest:
-        # converged-model decode RTF on REAL utterances at the bench
-        # batch (VERDICT r3 next #5: the contract metric is RTF at
-        # matched WER; the 40-step synth proxy above is shape-level)
+    # converged-model decode RTF on REAL utterances at the bench batch
+    # (the contract metric is RTF at matched WER; the 40-step synth
+    # proxy above is shape-level). Assets resolve from flags, env vars,
+    # or the default drop location, so the driver's flagless run picks
+    # them up whenever a round leaves a converged checkpoint behind.
+    import os
+    ckpt = args.decode_ckpt or os.environ.get("CTC_ASR_BENCH_CKPT", "")
+    man = args.decode_manifest or os.environ.get(
+        "CTC_ASR_BENCH_MANIFEST", "")
+    if not (ckpt and man):
+        default_dir = "/tmp/ctc_asr_tpu/bench_assets"
+        dman = os.path.join(default_dir, "manifest.csv")
+        dckpt = os.path.join(default_dir, "ckpt")
+        if os.path.exists(dman) and os.path.isdir(dckpt):
+            ckpt, man = dckpt, dman
+    if ckpt and man:
         try:
-            extra.update(bench_converged_decode(
-                cfg, batch, args.decode_ckpt, args.decode_manifest))
+            extra.update(bench_converged_decode(cfg, batch, ckpt, man))
         except Exception as e:  # pragma: no cover - defensive
             extra["decode_converged_error"] = \
                 f"{type(e).__name__}: {e}"[:200]
 
-    kind = str(devs[0].device_kind if hasattr(devs[0], "device_kind")
-               else devs[0])
+    if not args.no_ds3 and not args.tiny and args.model == "ds2":
+        # ds3 flagship secondary record (VERDICT r4 next #7): the other
+        # north-star training arm, in the SAME driver artifact. Guarded:
+        # its failure must not cost the ds2 headline.
+        try:
+            cfg3, batch3, seconds3 = build_cfg("ds3")
+            tput3, _, dev3, _, _ = bench_train(
+                cfg3, batch3, seconds3, max(args.steps // 2, 3),
+                args.warmup)
+            flops3 = model_step_flops(cfg3, batch3, seconds3)
+            extra["ds3_value"] = round(tput3 / n_chips, 3)
+            extra["ds3_device_step_time_s"] = round(dev3, 4)
+            extra["ds3_batch"] = batch3
+            if _PEAK_FLOPS.get(kind):
+                extra["ds3_step_mfu"] = round(
+                    flops3 / (dev3 * _PEAK_FLOPS[kind] * n_chips), 4)
+        except Exception as e:  # pragma: no cover - defensive
+            extra["ds3_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if args.compare:
+        # the pure-XLA twin path of THIS framework — the only
+        # measurable baseline (reference published numbers: none)
+        try:
+            import dataclasses as dc
+            cfgx = dc.replace(
+                cfg,
+                features=dc.replace(cfg.features, use_pallas=False),
+                model=dc.replace(cfg.model, use_pallas_rnn=False),
+                train=dc.replace(cfg.train, use_pallas_ctc=False))
+            tputx, _, devx, _, _ = bench_train(
+                cfgx, batch, seconds, max(args.steps // 2, 3),
+                args.warmup)
+            extra["xla_twin_value"] = round(tputx / n_chips, 3)
+            extra["xla_twin_device_step_time_s"] = round(devx, 4)
+        except Exception as e:  # pragma: no cover - defensive
+            extra["compare_error"] = f"{type(e).__name__}: {e}"[:200]
+
     flops = model_step_flops(cfg, batch, seconds)
     peak = _PEAK_FLOPS.get(kind)
     rec = {
         "metric": "train_throughput",
         "value": round(per_chip, 3),
         "unit": "audio-s/s/chip",
-        "vs_baseline": 1.0,
+        # ratio vs the pure-XLA twin when --compare measured it; 1.0
+        # otherwise (no external baseline exists — BASELINE.md)
+        "vs_baseline": round(per_chip / extra["xla_twin_value"], 4)
+        if extra.get("xla_twin_value") else 1.0,
         "step_time_s": round(step_time, 4),
         "device_step_time_s": round(dev_step_time, 4),
         "batch": batch,

@@ -106,6 +106,11 @@ def cmd_evaluate(argv):
     args = p.parse_args(rest)
     cfg = _load_cfg(args, overrides)
 
+    from .parallel.dist import initialize_distributed
+    initialize_distributed(cfg.mesh)
+
+    import jax
+
     from . import checkpoint as ckpt_mod
     from .evaluate import evaluate
     from .train import init_train_state
@@ -117,8 +122,11 @@ def cmd_evaluate(argv):
     state, _ = ckpt_mod.load_checkpoint(path, template)
     res = evaluate(cfg, state["params"])
     import json
+    # evaluate() allgathers per-utt records across processes, so the
+    # process-0 dump describes the FULL corpus — same file either way
     per_utt = res.pop("per_utt", None)
-    if args.dump_utts and per_utt is not None:
+    if args.dump_utts and per_utt is not None \
+            and jax.process_index() == 0:
         with open(args.dump_utts, "w") as f:
             json.dump({"ckpt": path, "per_utt": per_utt}, f)
     print(json.dumps(res, indent=2, default=float))

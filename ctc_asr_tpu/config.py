@@ -177,9 +177,13 @@ class TrainConfig:
     # step result every sync_every steps, so the per-step host->device
     # round trip (~25 ms through a PJRT tunnel; still ~0.1-1 ms on a
     # local host) is amortized and dispatch of step k+1 overlaps step
-    # k's compute. Bounds host runahead to <= sync_every in-flight
-    # batches (device-buffer footprint). 1 = the former fully
-    # synchronous loop.
+    # k's compute. The sync is a host SCALAR FETCH of the loss (a
+    # device->host value transfer cannot complete before the step has),
+    # not block_until_ready — which the axon tunnel satisfies at enqueue
+    # and which would therefore bound nothing there. Bounds host
+    # runahead to <= sync_every in-flight batches (device-buffer
+    # footprint) on every backend, including log_every=0 runs. 1 = the
+    # former fully synchronous loop. The fetch also NaN-traps the loss.
     sync_every: int = 8
     log_every: int = 50
     eval_every: int = 2500

@@ -173,22 +173,30 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
             # the axon relay); exclude it from the steady-state RTF
             t_warm, audio_warm = time.perf_counter(), total_audio
     wall = time.perf_counter() - t0
-    out = acc.summary()
     if jax.process_count() > 1:
-        # multi-process: each process decoded its own loader shard;
-        # sum the edit/token counts across processes so every process
-        # reports the CORPUS WER/CER (and process 0's metrics stream /
-        # best-checkpoint decisions see the global number). per_utt and
-        # the bootstrap CI below stay shard-local.
+        # multi-process: each process decoded its own loader shard.
+        # Allgather the per-utterance (we, wc, ce, cc) records — tiny
+        # int tuples — and rebuild ONE corpus accumulator, so every
+        # derived artifact (corpus WER/CER, the bootstrap CI, and
+        # --dump-utts' per_utt sidecar) describes the same full corpus.
+        # Shards may be unequal (drop_last=False): pad to the gathered
+        # max count and mask. per_utt ordering is process-major, which
+        # is the manifest's strided-shard order re-interleaved — stable
+        # for a fixed process count.
         from jax.experimental import multihost_utils
-        counts = np.array([acc.word_edits, acc.word_count,
-                           acc.char_edits, acc.char_count,
-                           acc.utterances], np.int64)
-        tot = np.asarray(multihost_utils.process_allgather(counts))
-        tot = tot.sum(axis=0)
-        out.update(wer=tot[0] / max(1, tot[1]), cer=tot[2] / max(1, tot[3]),
-                   utterances=int(tot[4]), word_edits=int(tot[0]),
-                   word_count=int(tot[1]))
+        rec = np.asarray(acc.utt_records, np.int64).reshape(-1, 4)
+        n_all = np.asarray(multihost_utils.process_allgather(
+            np.array([rec.shape[0]], np.int64))).reshape(-1)
+        padded = np.zeros((max(1, int(n_all.max())), 4), np.int64)
+        padded[: rec.shape[0]] = rec
+        gathered = np.asarray(
+            multihost_utils.process_allgather(padded))
+        merged = ErrorRateAccumulator()
+        for p in range(gathered.shape[0]):
+            for we, wc, ce, cc in gathered[p, : int(n_all[p])]:
+                merged.add_record(int(we), int(wc), int(ce), int(cc))
+        acc = merged
+    out = acc.summary()
     # bootstrap 95% CIs on corpus WER/CER + the raw per-utterance
     # (we, wc, ce, cc) records, so callers can run paired bootstrap
     # comparisons between systems evaluated on the same manifest

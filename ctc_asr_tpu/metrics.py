@@ -77,6 +77,17 @@ class ErrorRateAccumulator:
         self.utterances += 1
         self.utt_records.append((we, len(rw), ce, len(ref)))
 
+    def add_record(self, we: int, wc: int, ce: int, cc: int) -> None:
+        """Accumulate an already-computed per-utterance record — the
+        cross-process merge path (evaluate() allgathers each shard's
+        utt_records so CIs/per_utt dumps describe the whole corpus)."""
+        self.word_edits += we
+        self.word_count += wc
+        self.char_edits += ce
+        self.char_count += cc
+        self.utterances += 1
+        self.utt_records.append((we, wc, ce, cc))
+
     def bootstrap_ci(self, n_resamples: int = 2000, seed: int = 0) -> dict:
         """Percentile-bootstrap 95% CI on corpus WER and CER.
 

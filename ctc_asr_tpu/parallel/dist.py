@@ -62,18 +62,27 @@ def process_local_batch(mesh, arrays):
         for a in arrays)
 
 
+def shard_tree(mesh, tree, shardings):
+    """Host pytree (identical on every process) -> global jax.Arrays
+    laid out per ``shardings`` (a matching pytree of NamedShardings).
+    Multi-process safe: every process supplies its addressable shards
+    through the callback, so 'model'-sharded leaves (the TP regime's
+    state_shardings) come up correctly partitioned across processes."""
+    import numpy as np
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+    return jax.tree.map(put, tree, shardings)
+
+
 def replicate_tree(mesh, tree):
     """Host pytree (identical on every process) -> fully-replicated
     global jax.Arrays on ``mesh``. The multi-process analog of a plain
     device_put: every process supplies its local replicas' data."""
-    import numpy as np
     rep = NamedSharding(mesh, P())
-
-    def put(x):
-        x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, rep,
-                                            lambda idx: x[idx])
-    return jax.tree.map(put, tree)
+    return shard_tree(mesh, tree, jax.tree.map(lambda _: rep, tree))
 
 
 def _without_pallas(cfg: Config) -> Config:

@@ -254,6 +254,32 @@ def precompile_bucket_shapes(step_fn, state, loader, cfg: Config) -> None:
               flush=True)
 
 
+def _loader_sharding_for_mesh(mesh) -> tuple[int, int]:
+    """(shard_idx, num_shards) for THIS process's loader on a
+    ('data','model') mesh.
+
+    The global batch shards over 'data' only; with TP (model axis > 1)
+    several processes hold REPLICAS of the same batch shard, so the
+    loader must be sharded by the process's data-row coordinate — not by
+    process index, which would feed nproc distinct shards where the mesh
+    expects data-size replicated ones (make_array_from_process_local_data
+    would assemble inconsistent replicas). Pure-DP (model axis == 1)
+    reduces to the familiar (process_index, process_count)."""
+    devs = mesh.devices  # ndarray [data, model]
+    if devs.shape[1] == 1:
+        return jax.process_index(), jax.process_count()
+    local_ids = {d.id for d in jax.local_devices()}
+    rows = sorted({r for r in range(devs.shape[0])
+                   if any(d.id in local_ids for d in devs[r])})
+    if len(rows) != 1:
+        raise ValueError(
+            f"this process's devices span data rows {rows} of the "
+            f"{devs.shape[0]}x{devs.shape[1]} mesh; with model_axis>1 "
+            "each process's devices must sit within ONE data row so its "
+            "loader shard maps to one batch shard")
+    return rows[0], devs.shape[0]
+
+
 def train(cfg: Config, max_steps: int | None = None,
           loader: DataLoader | None = None,
           eval_fn=None, writer: MetricsWriter | None = None) -> dict:
@@ -275,10 +301,22 @@ def train(cfg: Config, max_steps: int | None = None,
     nproc = jax.process_count()
     mesh = put = sp_mesh = None
     if nproc > 1:
-        from .parallel.dist import process_local_batch, replicate_tree
+        if cfg.mesh.seq_axis > 1:
+            # SP shards the TIME axis of one batch across local devices;
+            # the multi-process regime shards the BATCH axis across
+            # processes. Combining them needs a (data, seq) process-level
+            # mesh that is not built — refuse loudly rather than
+            # silently training pure-DP with seq_axis ignored.
+            raise ValueError(
+                f"mesh.seq_axis={cfg.mesh.seq_axis} is not supported "
+                f"with multi-process training (process_count={nproc}); "
+                "run SP single-process over local devices, or unset "
+                "mesh.seq_axis for the multi-process DP/DPxTP regimes")
+        from .parallel.dist import process_local_batch
         from .parallel.mesh import build_mesh
         mesh = build_mesh(cfg.mesh)
         put = functools.partial(process_local_batch, mesh)
+        loader_shard, loader_nshards = _loader_sharding_for_mesh(mesh)
     elif cfg.mesh.seq_axis > 1:
         # sequence parallelism (config-driven): time-sharded activations
         # over a ('seq',) mesh of local devices — parallel/seqpar.py
@@ -293,10 +331,12 @@ def train(cfg: Config, max_steps: int | None = None,
         sp_mesh = Mesh(_np.array(devs[:cfg.mesh.seq_axis]), ("seq",))
         put = functools.partial(seqpar.sp_batch_put, sp_mesh)
     if loader is None:
+        if mesh is None:
+            loader_shard, loader_nshards = jax.process_index(), nproc
         manifest = read_manifest(cfg.data.train_manifest)
         loader = DataLoader(manifest, cfg.data, cfg.features,
-                            shard_idx=jax.process_index(),
-                            num_shards=nproc)
+                            shard_idx=loader_shard,
+                            num_shards=loader_nshards)
     if writer is None:
         writer = MetricsWriter(tcfg.train_dir) if jax.process_index() == 0 \
             else NullMetricsWriter()
@@ -311,9 +351,14 @@ def train(cfg: Config, max_steps: int | None = None,
         print(f"[train] resumed from step {int(state['step'])}", flush=True)
 
     if mesh is not None:
-        from .parallel.dist import make_sharded_train_step
+        from .parallel.dist import make_sharded_train_step, shard_tree
+        from .parallel.mesh import state_shardings
         step_fn = make_sharded_train_step(cfg, mesh, state)
-        state = replicate_tree(mesh, jax.device_get(state))
+        # leaf-wise shardings: fully replicated under pure DP; the wide
+        # params/moments partition over 'model' in the TP regime
+        state = shard_tree(mesh, jax.device_get(state),
+                           state_shardings(state, mesh,
+                                           cfg.mesh.shard_model))
     elif sp_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         from .parallel import seqpar
@@ -346,6 +391,15 @@ def train(cfg: Config, max_steps: int | None = None,
     # blocks on a result every sync_every steps (log/eval/ckpt hooks
     # also sync naturally), keeping <= sync_every steps' input batches
     # in flight on the device.
+    #
+    # The sync must be a HOST SCALAR FETCH, not block_until_ready:
+    # through the axon PJRT tunnel block_until_ready returns at enqueue
+    # (measured: bench.py RTT protocol, scripts/diag_train_loop.py), so
+    # it would be a no-op barrier in the target deployment and runahead
+    # would be bounded only by the log hook — or unbounded when
+    # log_every=0. float() forces a device->host value transfer that
+    # cannot complete before the step has; its ~25 ms RTT is amortized
+    # over sync_every steps, which was the design intent.
     sync_every = max(1, tcfg.sync_every)
     t_last = time.perf_counter()
     try:
@@ -357,7 +411,16 @@ def train(cfg: Config, max_steps: int | None = None,
             meter.update(batch.audio_seconds)
             step = i + 1
             if step % sync_every == 0 or step == total:
-                jax.block_until_ready(m["loss"])
+                # true barrier (see above). grad_norm, not loss, is the
+                # NaN canary: the log-space CTC masking maps NaN/inf
+                # logits to a finite loss, but a NaN anywhere in params
+                # or activations propagates into the backward pass and
+                # the global grad norm.
+                gn = float(m["grad_norm"])
+                if gn != gn:
+                    raise FloatingPointError(
+                        f"grad_norm is NaN at step {step} "
+                        f"(loss={float(m['loss'])})")
             if heartbeat is not None:
                 heartbeat.beat(step)
 

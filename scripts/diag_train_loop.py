@@ -104,8 +104,12 @@ def measure_host_loader(cfg, manifest, n_batches=40):
 
 def measure_loop(cfg, steps, sync_every, tag):
     """Steady-state loop ms/step from the metrics step_time_s windows,
-    excluding the first window (compile + warmup) — precompile and the
-    final-step checkpoint are therefore excluded too."""
+    excluding the first window (compile + warmup) and the step==total
+    window — train() computes the latter as (now-t_last)/log_every even
+    when fewer than log_every steps elapsed, and it absorbs the
+    mandatory final-step checkpoint, so keeping it would bias the
+    sync1-vs-sync8 comparison. Only full windows at step % log_every ==
+    0 and step != total count."""
     import json
     import shutil
     from ctc_asr_tpu.train import train
@@ -121,7 +125,8 @@ def measure_loop(cfg, steps, sync_every, tag):
     with open(os.path.join(tdir, "metrics.jsonl")) as f:
         for line in f:
             r = json.loads(line)
-            if "step_time_s" in r:
+            if ("step_time_s" in r and r["step"] % log_every == 0
+                    and r["step"] != steps):
                 windows.append(r["step_time_s"])
     steady = windows[1:] or windows
     ms = sum(steady) / len(steady) * 1e3

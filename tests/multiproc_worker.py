@@ -41,6 +41,16 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true",
                     help="restore the latest checkpoint + loader cursor "
                          "before stepping")
+    ap.add_argument("--model-axis", type=int, default=1,
+                    help=">1 = hybrid DP x TP regime over a "
+                         "(data, model) mesh (GSPMD-sharded encoder "
+                         "matmuls + shard_map CTC/feature islands)")
+    ap.add_argument("--global-devices", type=int, default=2,
+                    help="global device count (= virtual CPU devices "
+                         "in the single-process reference mode)")
+    ap.add_argument("--dense-units", type=int, default=32,
+                    help=">=256 makes the dense frontend actually "
+                         "shard over 'model' (mesh._param_spec rule)")
     args = ap.parse_args()
 
     # environment must be pinned BEFORE jax imports: no axon TPU relay,
@@ -51,7 +61,8 @@ def main() -> int:
     if args.num_processes == 1:
         flags = os.environ.get("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=2").strip()
+            flags + " --xla_force_host_platform_device_count="
+            f"{args.global_devices}").strip()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
@@ -65,19 +76,25 @@ def main() -> int:
     from ctc_asr_tpu.parallel.dist import (initialize_distributed,
                                            make_sharded_train_step,
                                            process_local_batch,
-                                           replicate_tree)
-    from ctc_asr_tpu.parallel.mesh import batch_sharding, build_mesh
+                                           shard_tree)
+    from ctc_asr_tpu.parallel.mesh import (batch_sharding, build_mesh,
+                                           state_shardings)
     from ctc_asr_tpu.train import init_train_state
 
     initialize_distributed(MeshConfig(
         coordinator_address=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id))
-    n_shards = 2  # fixed global topology: 2 devices either way
+    mesh_cfg = MeshConfig(model_axis=args.model_axis,
+                          shard_model=args.model_axis > 1)
+    # batch shards over 'data' only; with TP the same shard is
+    # replicated across the model axis
+    n_shards = args.global_devices // args.model_axis
 
     cfg = Config(
         features=FeatureConfig(feature_type="mfcc", n_mfcc=13,
                                use_pallas=False),
-        model=ModelConfig(frontend="dense", dense_layers=1, dense_units=32,
+        model=ModelConfig(frontend="dense", dense_layers=1,
+                          dense_units=args.dense_units,
                           rnn_layers=1, rnn_units=32, dropout=0.0,
                           compute_dtype="float32", use_pallas_rnn=False),
         data=DataConfig(train_manifest=args.manifest, batch_size=2,
@@ -85,20 +102,25 @@ def main() -> int:
                         min_audio_seconds=0.05, max_audio_seconds=10.0),
         train=TrainConfig(learning_rate=3e-3, total_steps=args.steps,
                           use_pallas_ctc=False, train_dir=args.train_dir),
+        mesh=mesh_cfg,
     )
 
     manifest = read_manifest(args.manifest)
-    mesh = build_mesh(MeshConfig(), jax.devices())
+    mesh = build_mesh(mesh_cfg, jax.devices())
     state = init_train_state(cfg)
     step_fn = make_sharded_train_step(cfg, mesh, state)
 
     if args.num_processes > 1:
+        # data-row-aware sharding (train._loader_sharding_for_mesh):
+        # under TP, processes sharing a data row load the SAME shard
+        from ctc_asr_tpu.train import _loader_sharding_for_mesh
+        shard_idx, num_shards = _loader_sharding_for_mesh(mesh)
         loaders = [DataLoader(manifest, cfg.data, cfg.features,
-                              shard_idx=jax.process_index(),
-                              num_shards=jax.process_count())]
+                              shard_idx=shard_idx,
+                              num_shards=num_shards)]
     else:
-        # single-process reference: the same two shard streams,
-        # concatenated host-side in mesh order
+        # single-process reference: the same shard streams,
+        # concatenated host-side in mesh data-row order
         loaders = [DataLoader(manifest, cfg.data, cfg.features,
                               shard_idx=s, num_shards=n_shards)
                    for s in range(n_shards)]
@@ -113,7 +135,9 @@ def main() -> int:
         for ld in loaders:
             ld.load_state_dict(meta["loader"])
 
-    gstate = replicate_tree(mesh, state)
+    gstate = shard_tree(mesh, state,
+                        state_shardings(state, mesh,
+                                        mesh_cfg.shard_model))
     iters = [iter(ld) for ld in loaders]
     losses, ckpt_path = [], None
     for k in range(start_step, args.steps):
@@ -138,6 +162,13 @@ def main() -> int:
     for it in iters:
         it.close()
 
+    # under TP the state is 'model'-sharded (not fully addressable per
+    # process): all-gather to replicated before reading it back
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    gstate = jax.jit(
+        lambda s: s,
+        out_shardings=jax.tree.map(lambda _: rep, gstate))(gstate)
     host = jax.device_get(gstate)
     digest = hashlib.sha256()
     for leaf in jax.tree.leaves(host["params"]):

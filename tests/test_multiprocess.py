@@ -51,7 +51,7 @@ def _worker_env() -> dict:
 
 
 def _launch(n_procs, manifest, out, train_dir, steps=STEPS, ckpt_at=0,
-            resume=False):
+            resume=False, extra=()):
     port = _free_port()
     procs = []
     for pid in range(n_procs):
@@ -63,6 +63,7 @@ def _launch(n_procs, manifest, out, train_dir, steps=STEPS, ckpt_at=0,
             cmd += ["--coordinator", f"127.0.0.1:{port}"]
         if resume:
             cmd.append("--resume")
+        cmd += list(extra)
         procs.append(subprocess.Popen(
             cmd, env=_worker_env(), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
@@ -165,6 +166,112 @@ def test_cli_train_multiprocess(mp_setup, tmp_path):
                                        "step_00000003.npz"))
     # both processes printed the same final step; only one wrote files
     assert "done at step 3" in outs[0] and "done at step 3" in outs[1]
+
+
+def test_multiprocess_dp_tp_matches_single_process(mp_setup, tmp_path):
+    """The HYBRID DP x TP regime across REAL process boundaries
+    (VERDICT r4 next #4): 4 OS processes (1 CPU device each) form a 2x2
+    ('data','model') mesh — GSPMD shards the 256-wide dense frontend
+    over 'model' (so its matmul + gradient psum cross processes), the
+    CTC/feature shard_map islands pmean over 'data' across processes,
+    and the data-row-aware loader sharding gives processes in the same
+    data row IDENTICAL batch shards. Losses must match the
+    single-process 4-virtual-device 2x2 reference bitwise, and all
+    replicas must agree."""
+    manifest, _, _, _ = mp_setup
+    extra = ("--model-axis", "2", "--global-devices", "4",
+             "--dense-units", "256")
+    single = _launch(1, manifest, str(tmp_path / "tp_single_out"),
+                     str(tmp_path / "tp_single_dir"), extra=extra)[0]
+    multi = _launch(4, manifest, str(tmp_path / "tp_multi_out"),
+                    str(tmp_path / "tp_multi_dir"), extra=extra)
+    assert single["global_devices"] == 4
+    for r in multi:
+        assert r["process_count"] == 4
+        assert r["global_devices"] == 4
+    assert len(single["losses"]) == STEPS
+    for r in multi:
+        np.testing.assert_array_equal(single["losses"], r["losses"])
+        assert r["params_sha"] == single["params_sha"]
+
+
+def test_multiprocess_eval_dump_matches_single(mp_setup, tmp_path):
+    """Corpus-consistent multi-process eval artifacts (VERDICT r4 next
+    #5): evaluate() allgathers the per-utterance records, so a 2-process
+    `cli evaluate --dump-utts` must produce the SAME corpus metrics,
+    bootstrap CI, and per-utt multiset as the 1-process run on the same
+    manifest + checkpoint (not a 1/N shard-local dump)."""
+    manifest, _, _, _ = mp_setup
+
+    # build a checkpoint for the eval config (untrained params suffice —
+    # the comparison is between process topologies, not quality)
+    import jax as _jax
+    from ctc_asr_tpu import checkpoint as ckpt_mod
+    from ctc_asr_tpu.config import (Config, DataConfig, FeatureConfig,
+                                    ModelConfig)
+    from ctc_asr_tpu.train import init_train_state
+    cfg = Config(
+        features=FeatureConfig(feature_type="mfcc", n_mfcc=13,
+                               use_pallas=False),
+        model=ModelConfig(frontend="dense", dense_layers=1,
+                          dense_units=32, rnn_layers=1, rnn_units=32,
+                          dropout=0.0, compute_dtype="float32",
+                          use_pallas_rnn=False),
+        data=DataConfig(eval_manifest=manifest, batch_size=2,
+                        num_buckets=1, num_workers=1,
+                        min_audio_seconds=0.05, max_audio_seconds=10.0))
+    state = _jax.device_get(init_train_state(cfg))
+    ckpt = ckpt_mod.save_checkpoint(str(tmp_path / "ckpt"), 1, state)
+
+    overrides = [f"--data.eval_manifest={manifest}",
+                 "--data.batch_size=2", "--data.num_buckets=1",
+                 "--data.num_workers=1", "--data.min_audio_seconds=0.05",
+                 "--features.feature_type=mfcc", "--features.n_mfcc=13",
+                 "--features.use_pallas=false",
+                 "--model.frontend=dense", "--model.dense_layers=1",
+                 "--model.dense_units=32", "--model.rnn_layers=1",
+                 "--model.rnn_units=32", "--model.dropout=0.0",
+                 "--model.compute_dtype=float32",
+                 "--model.use_pallas_rnn=false",
+                 "--decode.use_pallas=false"]
+
+    def run_eval(n_procs, tag):
+        port = _free_port()
+        procs = []
+        for pid in range(n_procs):
+            dump = str(tmp_path / f"{tag}_p{pid}.json")
+            cmd = [sys.executable, "-m", "ctc_asr_tpu.cli", "evaluate",
+                   "--ckpt", ckpt, "--dump-utts", dump] + overrides
+            if n_procs > 1:
+                cmd += [f"--mesh.coordinator_address=127.0.0.1:{port}",
+                        f"--mesh.num_processes={n_procs}",
+                        f"--mesh.process_id={pid}"]
+            env = _worker_env()
+            env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, f"cli evaluate failed:\n{o[-3000:]}"
+        # summary = last JSON object on stdout of process 0
+        summary = json.loads(
+            outs[0][outs[0].index("{"):outs[0].rindex("}") + 1])
+        with open(str(tmp_path / f"{tag}_p0.json")) as f:
+            dump = json.load(f)
+        return summary, dump
+
+    s1, d1 = run_eval(1, "single")
+    s2, d2 = run_eval(2, "multi")
+    assert s2["utterances"] == s1["utterances"] == 16
+    assert s2["wer"] == s1["wer"] and s2["cer"] == s1["cer"]
+    # per-utt dump: same corpus multiset (ordering is process-major
+    # under sharding), and the CI computed FROM those records agrees
+    assert sorted(map(tuple, d2["per_utt"])) == \
+        sorted(map(tuple, d1["per_utt"]))
+    assert len(d2["per_utt"]) == 16
+    # no shard-local dump should exist for process 1
+    assert not os.path.exists(str(tmp_path / "multi_p1.json"))
 
 
 def test_multiprocess_resume_bit_identical(mp_setup):

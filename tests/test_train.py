@@ -137,3 +137,39 @@ def test_evaluate_max_batches_caps_work(tiny_setup):
     out = evaluate(cfg, state["params"], loader=loader, max_batches=2,
                    log_samples=0)
     assert out["utterances"] == 2 * cfg.data.batch_size
+
+
+def test_seq_axis_with_multiprocess_is_loud(tiny_setup, monkeypatch):
+    """mesh.seq_axis > 1 + process_count > 1 is an unbuilt regime
+    combination; train() must refuse loudly instead of silently
+    training pure-DP with seq_axis ignored (VERDICT r4 next #4)."""
+    import dataclasses as dc
+    from ctc_asr_tpu.config import MeshConfig
+    cfg, _ = tiny_setup
+    cfg2 = dc.replace(cfg, mesh=MeshConfig(seq_axis=2))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="seq_axis.*multi-process"):
+        train(cfg2, max_steps=1)
+
+
+def test_train_loop_nan_traps(tiny_setup, tmp_path_factory):
+    """The sync-point host scalar fetch doubles as a NaN trap: NaN
+    state must abort the loop with FloatingPointError, not silently
+    keep training (SURVEY.md §5 race-detection row). The canary is
+    grad_norm — the log-space CTC masking maps NaN logits to a FINITE
+    loss, but NaN params always poison the backward pass."""
+    import dataclasses as dc
+    cfg, _ = tiny_setup
+    tdir = str(tmp_path_factory.mktemp("nan_dir"))
+    cfg2 = dc.replace(cfg, train=dc.replace(
+        cfg.train, total_steps=4, sync_every=1, log_every=0,
+        checkpoint_every=0, train_dir=tdir))
+    # NaN-poisoned checkpoint: train() resumes from it and the first
+    # sync-point fetch must trip (deterministic, unlike waiting for a
+    # high-LR divergence to produce NaN rather than saturate)
+    state = init_train_state(cfg2)
+    state["params"] = jax.tree.map(
+        lambda x: jnp.full_like(x, jnp.nan), state["params"])
+    ckpt_mod.save_checkpoint(tdir + "/ckpt", 0, state)
+    with pytest.raises(FloatingPointError, match="NaN"):
+        train(cfg2, max_steps=4)
