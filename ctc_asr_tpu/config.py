@@ -231,8 +231,10 @@ class MeshConfig:
     shard_model: bool = False
     # sequence parallelism (SURVEY.md §5 long-context, optional): >1
     # shards the TIME axis of activations over a ('seq',) mesh of that
-    # many local devices — halo-exchange frontend + wavefront (bi)RNN
-    # (parallel/seqpar.py). Dense (DS1) frontend only; single-process.
+    # many local devices — halo-exchange frontend (dense AND conv, with
+    # per-conv-layer time halos), global-frame-indexed SpecAugment,
+    # wavefront (bi)RNN, and an SP eval/decode step
+    # (parallel/seqpar.py). Single-process only.
     seq_axis: int = 1
     # jax.distributed coordination (multi-host); empty = single-process
     coordinator_address: str = ""

@@ -100,6 +100,82 @@ def build_vocabulary(n_words: int = 384, seed: int = 1234) -> tuple:
     return tuple(out)
 
 
+def build_oov_vocabulary(n_base: int = 384, n_oov: int = 384,
+                         seed: int = 1234) -> tuple:
+    """``n_oov`` pseudo-words DISJOINT from ``build_vocabulary(n_base,
+    seed)`` but drawn from the same syllable inventory/structure.
+
+    build_vocabulary's generation loop is prefix-stable (it appends from
+    a deterministic rng stream and never revisits earlier words), so the
+    tail of the (n_base + n_oov)-word inventory is exactly the
+    continuation of the same distribution — acoustically and
+    phonotactically matched to the base vocabulary while sharing zero
+    word types with it. This is the open-vocabulary generalization axis
+    (VERDICT r4 next #1): a model trained on the base vocabulary has
+    seen every CHARACTER and syllable pattern but no OOV WORD."""
+    full = build_vocabulary(n_base + n_oov, seed=seed)
+    oov = tuple(full[n_base:])
+    assert len(oov) == n_oov and not (set(oov) & set(full[:n_base]))
+    return oov
+
+
+def generate_hard_split(out_dir: str, split: str, vocab: tuple,
+                        count: int, seed: int = 0, sr: int = 16000,
+                        min_words: int = 2, max_words: int = 7,
+                        snr_db: tuple = (5.0, 20.0),
+                        spk_base: int = 0, n_speakers: int = 32,
+                        split_id: int = 0,
+                        exclude_transcripts: set | None = None) -> str:
+    """One extra manifest in generate_hard_corpus's exact distribution.
+
+    Same per-utterance recipe (uniform word count, uniform speaker from
+    the pool, uniform SNR, render seed = seed*100003 +
+    split_id*1000003 + i) so a split generated later — a larger test
+    set, or an OOV split over a disjoint ``vocab`` — is
+    distribution-matched to an existing corpus. ``exclude_transcripts``
+    keeps the no-memorization guarantee against already-generated
+    splits. Returns the manifest path."""
+    wav_dir = os.path.join(out_dir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    used = set(exclude_transcripts or ())
+    utts = []
+    for i in range(count):
+        for _ in range(100):
+            n = int(rng.integers(min_words, max_words + 1))
+            tr = " ".join(str(rng.choice(vocab)) for _ in range(n))
+            if tr not in used:
+                used.add(tr)
+                break
+        else:
+            raise RuntimeError("vocabulary too small for disjoint split")
+        speaker = spk_base + int(rng.integers(n_speakers))
+        snr = float(rng.uniform(*snr_db))
+        sig = render_transcript_hard(
+            tr, sr=sr, speaker=speaker, snr_db=snr,
+            seed=seed * 100003 + split_id * 1000003 + i)
+        path = os.path.join(wav_dir, f"{split}{i:05d}.wav")
+        audio_mod.write_wav(path, sig, sr)
+        utts.append(Utterance(path, len(sig) / sr, tr))
+    mpath = os.path.join(out_dir, f"{split}.csv")
+    write_manifest(mpath, Manifest(utts))
+    return mpath
+
+
+def generate_lm_text(vocab: tuple, n_sentences: int, seed: int = 0,
+                     min_words: int = 2, max_words: int = 7) -> list:
+    """Text-only sentences over ``vocab`` in the corpus's transcript
+    distribution — LM training material WITHOUT audio (the realistic
+    asymmetry: LM text corpora are far larger than transcribed audio,
+    and may cover words the acoustic model never heard)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_sentences):
+        n = int(rng.integers(min_words, max_words + 1))
+        out.append(" ".join(str(rng.choice(vocab)) for _ in range(n)))
+    return out
+
+
 def speaker_params(speaker: int) -> dict:
     """Deterministic per-speaker rendering style.
 

@@ -129,7 +129,25 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
                             shard_idx=jax.process_index(),
                             num_shards=jax.process_count(),
                             drop_last=False)
-    eval_step = make_eval_step(cfg)
+    put = None
+    if cfg.mesh.seq_axis > 1 and jax.process_count() == 1:
+        # sequence-parallel eval (config-driven, like train()): encoder
+        # activations time-shard over a ('seq',) mesh of local devices;
+        # decode runs on the replicated gathered logits
+        import functools as _ft
+        import numpy as _np
+        from jax.sharding import Mesh
+        from .parallel import seqpar
+        devs = jax.devices()
+        if len(devs) < cfg.mesh.seq_axis:
+            raise ValueError(
+                f"mesh.seq_axis={cfg.mesh.seq_axis} needs that many "
+                f"local devices, have {len(devs)}")
+        sp_mesh = Mesh(_np.array(devs[:cfg.mesh.seq_axis]), ("seq",))
+        eval_step = seqpar.make_sp_eval_step(cfg, sp_mesh)
+        put = _ft.partial(seqpar.sp_batch_put, sp_mesh)
+    else:
+        eval_step = make_eval_step(cfg)
     rescorer = None
     if cfg.decode.word_lm_path and cfg.decode.method == "beam":
         nbest_decode, rescorer = make_nbest_decoder(cfg)
@@ -150,7 +168,7 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
         import itertools
         src = itertools.islice(src, max_batches)
     for bi, (batch, dev) in enumerate(
-            device_batches(src, with_labels=False)):
+            device_batches(src, with_labels=False, put=put)):
         d_samples, d_slens = dev
         logits, logit_lens = eval_step(params, d_samples, d_slens)
         if rescorer is not None:

@@ -285,12 +285,14 @@ def _jnp_features(samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 # confined to each utterance's valid [0, len) region.
 # ---------------------------------------------------------------------------
 
-def _axis_masks(rng, n_masks: int, length: int, max_width, limit):
+def _axis_masks(rng, n_masks: int, length: int, max_width, limit,
+                pos_start=0):
     """[B, length] bool: union of ``n_masks`` random spans per row.
 
     max_width/limit: [B] (or scalar-broadcastable) per-row maximum mask
     width and exclusive upper bound for span placement. Width 0 spans
-    mask nothing, so rows with limit 0 are no-ops.
+    mask nothing, so rows with limit 0 are no-ops. ``pos_start`` offsets
+    the positions compared against the spans (the SP time-shard case).
     """
     import jax
     k1, k2 = jax.random.split(rng)
@@ -301,20 +303,28 @@ def _axis_masks(rng, n_masks: int, length: int, max_width, limit):
     w = jnp.floor(u_w * (maxw + 1.0))                     # [B, n] in [0, maxw]
     lim = limit.astype(jnp.float32)[:, None]
     s = jnp.floor(u_s * jnp.maximum(lim - w + 1.0, 1.0))  # [B, n]
-    pos = jnp.arange(length, dtype=jnp.float32)[None, None, :]
+    pos = (jnp.asarray(pos_start, jnp.float32)
+           + jnp.arange(length, dtype=jnp.float32))[None, None, :]
     spans = (pos >= s[..., None]) & (pos < (s + w)[..., None])
     return jnp.any(spans, axis=1)                         # [B, length]
 
 
 def spec_augment(rng, feats: jnp.ndarray, frame_lengths: jnp.ndarray,
                  n_time_masks: int, time_ratio: float,
-                 n_freq_masks: int, freq_width: int) -> jnp.ndarray:
+                 n_freq_masks: int, freq_width: int,
+                 t_start: int | jnp.ndarray = 0) -> jnp.ndarray:
     """feats [B, T, F] -> masked copy (zeros inside masked spans).
 
     Time-mask width is bounded by ``time_ratio * len`` per utterance
     (the adaptive rule); frequency masks use the absolute
     ``freq_width`` bound. Normalized features are ~zero-mean, so zero
     fill matches the mean-fill convention.
+
+    ``t_start``: global frame index of feats[:, 0] — the
+    sequence-parallel path passes its time-shard offset so every device
+    draws the SAME span parameters (same rng, [B]-level draws) and
+    applies its own slice of the GLOBAL mask; devices then tile the
+    exact unsharded augmentation (parallel/seqpar.py).
     """
     import jax
     B, T, F = feats.shape
@@ -323,7 +333,8 @@ def spec_augment(rng, feats: jnp.ndarray, frame_lengths: jnp.ndarray,
     if n_time_masks > 0:
         lens = frame_lengths.astype(jnp.float32)
         tm = _axis_masks(kt, n_time_masks, T,
-                         jnp.floor(time_ratio * lens), lens)
+                         jnp.floor(time_ratio * lens), lens,
+                         pos_start=t_start)
         keep = keep * (1.0 - tm.astype(feats.dtype))[..., None]
     feats = feats * keep
     if n_freq_masks > 0:

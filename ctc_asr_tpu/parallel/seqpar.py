@@ -294,6 +294,141 @@ def _sp_birnn_local(x_loc, lengths, params_fwd, params_bwd,
     return jnp.concatenate([out_f, out_b], axis=-1)   # [Tc, B, 2H]
 
 
+def _sp_conv_layer_local(layer, x_loc, strides, kernel, cdt, axis: str,
+                         n_shards: int):
+    """One SAME-padded NHWC conv layer over a TIME-sharded input.
+
+    x_loc: [B, Tc, F, C] local time chunk (global T = n * Tc, T % st
+    == 0 per the bucket contract). The time axis needs a halo: XLA's
+    strided SAME pads total = max(kt - st, 0) zeros split lo = total//2
+    before / hi after, so output row j reads input rows
+    [j*st - lo, j*st - lo + kt). Device d's outputs therefore need
+    ``lo`` rows from its LEFT neighbour's tail and ``total - lo`` rows
+    from its RIGHT neighbour's head; edge devices receive ppermute's
+    zero fill — exactly the SAME zero padding. Convolving the extended
+    chunk with VALID time padding (freq stays SAME) yields exactly
+    Tc/st rows that tile the unsharded output
+    (tests/test_seqpar.py::test_sp_conv_frontend_matches_unsharded).
+    """
+    kt, kf = kernel
+    st, sf = strides
+    B, Tc, F, C = x_loc.shape
+    if Tc % st != 0:
+        raise ValueError(
+            f"SP conv: local time chunk {Tc} not divisible by time "
+            f"stride {st}; pick bucket widths/seq_axis so chunks tile")
+    total = max(kt - st, 0)
+    lo = total // 2
+    hi = total - lo
+    if max(lo, hi) > Tc:
+        raise ValueError(
+            f"SP conv: halo ({lo}/{hi} rows, kernel_t={kt}) exceeds the "
+            f"local chunk of {Tc} frames — a single-neighbour exchange "
+            "cannot cover it; use fewer seq shards or longer buckets")
+    pieces = []
+    if lo > 0:
+        left = lax.ppermute(
+            x_loc[:, Tc - lo:], axis,
+            perm=[(i, i + 1) for i in range(n_shards - 1)])
+        pieces.append(left)
+    pieces.append(x_loc)
+    if hi > 0:
+        right = lax.ppermute(
+            x_loc[:, :hi], axis,
+            perm=[(i, i - 1) for i in range(1, n_shards)])
+        pieces.append(right)
+    ext = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else x_loc
+    # freq axis is unsharded: explicit SAME pads there, VALID in time
+    f_out = -(-F // sf)
+    ftot = max((f_out - 1) * sf + kf - F, 0)
+    y = lax.conv_general_dilated(
+        ext.astype(cdt), layer["w"].astype(cdt),
+        window_strides=(st, sf),
+        padding=((0, 0), (ftot // 2, ftot - ftot // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.astype(jnp.float32) + layer["b"]
+
+
+def _sp_encoder_local(params, samples_loc, sample_lengths, cfg,
+                      axis: str, n_shards: int, train: bool,
+                      dropout_rng=None, sa_rng=None):
+    """Per-device encoder body shared by the SP train and eval steps:
+    features -> [SpecAugment] -> dense|conv frontend -> wavefront
+    (bi)RNN stack -> head. Returns (logits_loc [Tc', B, C], out_lens).
+
+    ``sa_rng`` must be REPLICATED (identical on every device): the span
+    draws are [B]-level, so with the shard's global frame offset every
+    device applies its slice of one global mask. ``dropout_rng`` is the
+    per-device (axis-folded) stream."""
+    from ..models.encoder import output_lengths
+    from ..models.layers import clipped_relu, dense_apply, dropout
+
+    mcfg, fcfg = cfg.model, cfg.features
+    cdt = jnp.dtype(mcfg.compute_dtype)
+    d = lax.axis_index(axis)
+    feats, flens = _sp_features_local(samples_loc, sample_lengths,
+                                      fcfg, axis, n_shards)
+    Tc_in = feats.shape[1]
+    if train and cfg.train.specaugment:
+        feats = feat_mod.spec_augment(
+            sa_rng, feats, flens,
+            cfg.train.sa_time_masks, cfg.train.sa_time_ratio,
+            cfg.train.sa_freq_masks, cfg.train.sa_freq_width,
+            t_start=d * Tc_in)
+    rngs = iter(jax.random.split(dropout_rng, 32)) \
+        if dropout_rng is not None else iter([None] * 32)
+    if mcfg.frontend == "dense":
+        x = feats
+        for layer in params["frontend"]:
+            x = dense_apply(layer, x, cdt)
+            x = clipped_relu(x, mcfg.relu_clip)
+            if train:
+                x = dropout(next(rngs), x, mcfg.dropout, True)
+        out_lens = flens.astype(jnp.int32)
+    else:  # conv — per-layer time-halo exchange
+        # static UNSHARDED array length: the SP frame axis (S/hop rows)
+        # is longer than the unsharded pipeline's 1+(S-win)/hop; rows
+        # past t_valid would acquire bias+relu garbage after a conv
+        # layer, and the NEXT layer's tail windows would read it where
+        # the unsharded SAME padding reads zeros — so zero them after
+        # every layer to replicate the unsharded array exactly.
+        S_glob = samples_loc.shape[1] * n_shards
+        t_valid = 1 + max(S_glob - fcfg.win_length, 0) // fcfg.hop_length
+        x = feats[..., None]                       # [B, Tc, F, 1]
+        for layer, kernel, strides in zip(params["frontend"],
+                                          mcfg.conv_kernels,
+                                          mcfg.conv_strides):
+            x = _sp_conv_layer_local(layer, x, strides, kernel, cdt,
+                                     axis, n_shards)
+            x = clipped_relu(x, mcfg.relu_clip)
+            t_valid = -(-t_valid // strides[0])
+            Tc_l = x.shape[1]
+            gidx = d * Tc_l + jnp.arange(Tc_l)
+            x = x * (gidx < t_valid)[None, :, None, None].astype(x.dtype)
+            if train:
+                x = dropout(next(rngs), x, mcfg.dropout, True)
+        Bc, Tc, Fc, Cc = x.shape
+        x = x.reshape(Bc, Tc, Fc * Cc)
+        out_lens = output_lengths(flens, mcfg)
+
+    # zero pad frames (global-index mask; parity with apply_encoder)
+    Tc = x.shape[1]
+    vmask = jnp.swapaxes(_valid_mask(out_lens, Tc, axis), 0, 1)
+    x = x * vmask[..., None].astype(x.dtype)
+    x = jnp.swapaxes(x, 0, 1)                      # [Tc, B, D]
+    for layer in params["rnn"]:
+        if mcfg.bidirectional:
+            y = _sp_birnn_local(x, out_lens, layer["fwd"],
+                                layer["bwd"], mcfg.rnn_type,
+                                axis, n_shards)
+        else:
+            y = _sp_rnn_local(x, out_lens, layer, mcfg.rnn_type,
+                              axis, n_shards)
+        x = dropout(next(rngs), y, mcfg.dropout, True) if train else y
+    logits_loc = dense_apply(params["head"], x, cdt)   # [Tc, B, C]
+    return logits_loc, out_lens
+
+
 def make_sp_train_step(cfg, mesh: Mesh, state_template, axis: str = "seq",
                        donate: bool = True):
     """CONFIG-DRIVEN sequence-parallel train step (VERDICT r3 weak #3:
@@ -314,70 +449,40 @@ def make_sp_train_step(cfg, mesh: Mesh, state_template, axis: str = "seq",
     (whose transposes route activation cotangents along the reverse
     wavefront), the psum'd gradient equals the unsharded one exactly.
 
-    Scope: dense (DS1) frontend only — the conv frontend's time-strided
-    halo exchange is not built (length-bucketed padding remains the
-    primary long-audio mechanism; SURVEY.md §5 marks SP optional).
-    Gate matmuls run with f32 weights (cdt inputs, f32 accum).
+    Frontends: dense (DS1) AND conv (DS2/ds3) — the conv layers run a
+    per-layer time-halo exchange (_sp_conv_layer_local), so the
+    production model family trains under SP. SpecAugment is supported
+    via global-frame-indexed masks (every device draws the same spans
+    from the REPLICATED sa_rng and applies its slice). Gate matmuls run
+    with f32 weights (cdt inputs, f32 accum).
     """
     import optax
 
-    from ..models.layers import clipped_relu, dense_apply, dropout
     from ..ops.ctc_ref import ctc_loss
     from ..ops.dispatch import resolve_use_pallas
     from ..train import build_lr_schedule, build_optimizer
 
-    mcfg, fcfg = cfg.model, cfg.features
-    if mcfg.frontend != "dense":
-        raise NotImplementedError(
-            "sequence-parallel training supports the dense (DS1) "
-            "frontend; the conv frontend needs a time-strided halo "
-            "exchange that is not built (use length buckets instead)")
-    if cfg.train.specaugment:
-        raise NotImplementedError(
-            "SpecAugment is not wired for the SP step (its time masks "
-            "span chunk boundaries); disable train.specaugment with "
-            "mesh.seq_axis > 1")
     n = mesh.shape[axis]
     tx = build_optimizer(cfg.train)
     sched = build_lr_schedule(cfg.train)
     use_pallas_ctc = resolve_use_pallas(cfg.train.use_pallas_ctc)
-    cdt = jnp.dtype(mcfg.compute_dtype)
 
     def body(state, samples_loc, sample_lengths, labels, label_lengths):
         rng, dropout_rng = jax.random.split(state["rng"])
-        # decorrelate dropout masks across time shards (same pattern as
-        # the DP step's fold_in over the data axis)
+        # SpecAugment spans must be drawn IDENTICALLY on every device
+        # (rng pre-fold, matching train.make_step_fn's stream exactly);
+        # dropout masks decorrelate across time shards via the fold
+        sa_rng = jax.random.fold_in(dropout_rng, 7)
         dropout_rng = jax.random.fold_in(dropout_rng,
                                          lax.axis_index(axis))
 
         def loss_fn(params):
-            feats, flens = _sp_features_local(
-                samples_loc, sample_lengths, fcfg, axis, n)
-            rngs = iter(jax.random.split(dropout_rng, 32))
-            x = feats                                   # [B, Tc, F]
-            for layer in params["frontend"]:
-                x = dense_apply(layer, x, cdt)
-                x = clipped_relu(x, mcfg.relu_clip)
-                x = dropout(next(rngs), x, mcfg.dropout, True)
-            # zero pad frames AFTER the biased dense layers (parity
-            # with apply_encoder's vmask)
-            Tc = x.shape[1]
-            vmask = jnp.swapaxes(_valid_mask(flens, Tc, axis), 0, 1)
-            x = x * vmask[..., None].astype(x.dtype)
-            x = jnp.swapaxes(x, 0, 1)                   # [Tc, B, D]
-            for layer in params["rnn"]:
-                if mcfg.bidirectional:
-                    y = _sp_birnn_local(x, flens, layer["fwd"],
-                                        layer["bwd"], mcfg.rnn_type,
-                                        axis, n)
-                else:
-                    y = _sp_rnn_local(x, flens, layer, mcfg.rnn_type,
-                                      axis, n)
-                x = dropout(next(rngs), y, mcfg.dropout, True)
-            logits_loc = dense_apply(params["head"], x, cdt)
+            logits_loc, out_lens = _sp_encoder_local(
+                params, samples_loc, sample_lengths, cfg, axis, n,
+                train=True, dropout_rng=dropout_rng, sa_rng=sa_rng)
             full = lax.all_gather(logits_loc, axis, axis=0, tiled=True)
             logits = jnp.swapaxes(full, 0, 1)           # [B, T, C]
-            loss = ctc_loss(logits, flens, labels, label_lengths,
+            loss = ctc_loss(logits, out_lens, labels, label_lengths,
                             use_pallas=use_pallas_ctc)
             return loss / n
 
@@ -407,6 +512,32 @@ def make_sp_train_step(cfg, mesh: Mesh, state_template, axis: str = "seq",
                    in_shardings=(st_shard, samp_sh, rep, rep, rep),
                    out_shardings=(st_shard, met_shard),
                    donate_argnums=(0,) if donate else ())
+
+
+def make_sp_eval_step(cfg, mesh: Mesh, axis: str = "seq"):
+    """Sequence-parallel ``(params, samples, slens) -> (logits,
+    logit_lens)`` — the SP twin of train.make_eval_step, so evaluate()
+    can decode long audio whose activations exceed one chip. Per-device
+    encoder chunks all_gather into replicated [B, T', C] logits (the
+    decoders are time-sequential and run replicated on the gathered
+    posteriors; beam state is tiny next to the encoder activations)."""
+    n = mesh.shape[axis]
+
+    def body(params, samples_loc, sample_lengths):
+        logits_loc, out_lens = _sp_encoder_local(
+            params, samples_loc, sample_lengths, cfg, axis, n,
+            train=False)
+        full = lax.all_gather(logits_loc, axis, axis=0, tiled=True)
+        return jnp.swapaxes(full, 0, 1), out_lens
+
+    sharded = shard_map(
+        body, mesh=mesh, axis_names={axis},
+        in_specs=(P(), P(None, axis), P()),
+        out_specs=(P(), P()), check_vma=False)
+    rep = NamedSharding(mesh, P())
+    samp_sh = NamedSharding(mesh, P(None, axis))
+    return jax.jit(sharded, in_shardings=(None, samp_sh, rep),
+                   out_shardings=(rep, rep))
 
 
 def sp_batch_put(mesh: Mesh, arrs, axis: str = "seq"):

@@ -90,3 +90,49 @@ def test_rescore_batch_cache_hits_duplicates():
     lm_mod.rescore_nbest_batch(nbest, am, wlm, cache=cache)
     # 2 unique hypotheses -> 2 cache entries despite 4 scores
     assert len(cache) == 2
+
+
+def test_oov_vocabulary_disjoint_and_prefix_stable():
+    """build_vocabulary is prefix-stable, so the OOV inventory is the
+    exact continuation of the base distribution with zero shared word
+    types (the open-vocab axis, VERDICT r4 next #1)."""
+    from ctc_asr_tpu.data.synth import build_oov_vocabulary
+    base = build_vocabulary(384)
+    assert build_vocabulary(768)[:384] == base
+    oov = build_oov_vocabulary(384, 384)
+    assert len(oov) == 384
+    assert not set(oov) & set(base)
+    # same charset and syllable-ish length profile
+    assert all(set(w) <= set(ALPHABET.replace(" ", "")) for w in oov)
+    assert abs(np.mean([len(w) for w in oov])
+               - np.mean([len(w) for w in base])) < 1.5
+
+
+def test_generate_hard_split_matches_corpus_distribution(tmp_path):
+    """generate_hard_split reproduces generate_hard_corpus's recipe:
+    disjoint transcripts vs an exclude set, requested speaker pool,
+    wav lengths in the corpus's range, all words from the given
+    vocabulary."""
+    from ctc_asr_tpu.data.synth import generate_hard_split
+    vocab = build_vocabulary(64)
+    exclude = {"aa bb", " ".join([str(vocab[0])] * 2)}
+    path = generate_hard_split(str(tmp_path), "extra", vocab, 12,
+                               seed=11, spk_base=1000, n_speakers=12,
+                               split_id=5, exclude_transcripts=exclude)
+    man = read_manifest(path)
+    assert len(man) == 12
+    trs = [u.transcript for u in man]
+    assert len(set(trs)) == 12 and not (set(trs) & exclude)
+    for u in man:
+        assert all(w in vocab for w in u.transcript.split())
+        assert 0.1 < u.duration < 12.0
+
+
+def test_generate_lm_text_covers_vocab_without_audio():
+    from ctc_asr_tpu.data.synth import generate_lm_text
+    vocab = build_vocabulary(64)
+    texts = generate_lm_text(vocab, 500, seed=3)
+    assert len(texts) == 500
+    seen = set(w for t in texts for w in t.split())
+    assert len(seen) > 50  # near-full coverage at 500 sentences
+    assert seen <= set(map(str, vocab))
