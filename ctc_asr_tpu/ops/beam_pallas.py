@@ -7,16 +7,17 @@ never leaves VMEM across the whole utterance (BASELINE.json:5
 against the XLA implementation and the Python oracle in
 tests/test_beam_pallas.py (interpret mode on CPU).
 
-Kernel shape dictionary (K = beam width on sublanes, C = classes on
-lanes, U = max decode length on lanes):
+Kernel shape dictionary (G = batch rows per grid step, K = beam width
+on sublanes, C = classes on lanes, U = max decode length on lanes):
 
 - Beam state in VMEM scratch, persistent across the time grid:
-  ``pfx [K, U]`` (f32-coded small ints), ``plen/last/pb/pnb [K, 1]``,
-  dual rolling hashes ``h1/h2 [K, 1]`` (wrapping int32).
-- One timestep = one grid step (grid (B, T), t minor) consuming a
-  ``[1, C]`` log-prob row; all work is VPU/MXU ops on [K, C], [K, K]
-  and [K, U] tiles — NO sorts, NO gathers, NO dynamic indexing
-  (Mosaic-safe by construction):
+  ``pfx [G, K, U]`` (f32-coded small ints), ``plen/last/pb/pnb
+  [G, K, 1]``, dual rolling hashes ``h1/h2 [G, K, 1]`` (wrapping
+  int32).
+- One timestep = one grid step (grid (B/G, T), t minor) consuming a
+  ``[G, C]`` log-prob slab; all work is VPU/MXU ops on [G, K, C],
+  [G, K, K] and [G, K, U] tiles — NO sorts, NO gathers, NO dynamic
+  indexing (Mosaic-safe by construction):
 
   * **Merge** (identical prefixes): with unique beam strings, a merge
     can only pair beam k's "stay" with beam j's "extend by k's last
@@ -24,14 +25,32 @@ lanes, U = max decode length on lanes):
     ``h(j)*M + c_k == h(k)``, not an O((K*C)^2) candidate sort like the
     XLA path. A parent column j may match several stay rows k (they are
     distinct extend cells (j, c_k)); every match is a real merge.
-    Merged extends are killed via a [K,K] x [K,C] one-hot matmul.
-  * **Top-K**: K iterations of global-max -> first-index one-hot ->
-    mask-out over the [K, C] candidate score matrix; each iteration
-    accumulates the new beam row as an outer-product add
-    ``(sublane==i) * selected_row`` — dynamic row writes without
-    dynamic indexing.
+    Merged extends are killed via a batched [G,K,K] x [G,K,C] one-hot
+    matmul.
+  * **Top-K**: K iterations of per-group global-max -> first-index
+    one-hot -> mask-out over the [G, K, C] candidate score matrix; the
+    loop tracks only [G,K,1]/[G,K,K] state (a one-hot parent matrix P
+    and the new chars/write positions); ONE batched [G,K,K]x[G,K,U]
+    MXU matmul after the loop rebuilds all parent prefixes (exact:
+    one-hot times small ints) followed by a single masked lane write.
   * Beams created from exhausted (NEG-score) candidates get poisoned,
     step-unique hashes so they can never merge with live beams.
+
+- **Why a G dimension** (measured, scripts/diag_decode_roofline.py +
+  DESIGN.md §4b): at G=1 the top-K loop's per-iteration cost is
+  CONSTANT in K (0.94 us at K=16 vs 0.83 us at K=64 on v5e) — the
+  serial chain of small-tile VPU ops is op-issue-latency-bound, not
+  throughput-bound — and the (B, T) grid serializes batch rows that
+  are completely independent. Batching G rows per grid step makes
+  every issued op cover G items. Measured (G=8): **5.2x** at K=16
+  (B=128, T=400: 562 -> 108 ms) where latency dominated; **1.40x** at
+  the contract K=64 (2542 -> 1817 ms), where the grouped tiles become
+  VPU-throughput-bound (time scales ~K^2: K iterations x K-sublane
+  tiles) — that throughput wall is the kernel's remaining
+  speed-of-light gap and is quantified in DESIGN.md. The LM-fusion
+  path keeps G=1 (its per-beam table gather is a K-iteration
+  dynamic-slice loop that G would multiply) but still gains 1.19x from
+  the deferred prefix rebuild.
 
 LM shallow fusion (BASELINE.json:10) IS kernelized: the dense char
 n-gram table (ops/lm.py) rides in VMEM as a grid-constant input block
@@ -39,7 +58,7 @@ n-gram table (ops/lm.py) rides in VMEM as a grid-constant input block
 per-beam rows are fetched with K dynamic sublane slices (``pl.ds`` on a
 masked-reduce scalar context id) per timestep — the TPU analog of the
 XLA path's ``table[ctx]`` gather. Per-beam LM state (context id,
-accumulated log P, word-bonus count) lives in three more [K, 1]
+accumulated log P, word-bonus count) lives in three more [1, K, 1]
 scratches; ranking adds ``lm_weight * lm + word_bonus * bonus`` exactly
 as ops/beam.py does, while pb/pnb stay purely acoustic. Order-5 tables
 (614k contexts) exceed VMEM and fall back to the XLA decoder.
@@ -77,10 +96,10 @@ def _lse2(a, b):
 
 
 def _beam_kernel(lp_ref, len_ref, *refs,
-                 K: int, C: int, U: int, T: int, blank: int, space: int,
-                 has_lm: bool, lm_weight: float, word_bonus: float,
-                 lm_vocab: int, ctx_size: int, init_ctx: int,
-                 emit_nbest: bool = False):
+                 G: int, K: int, C: int, U: int, T: int, blank: int,
+                 space: int, has_lm: bool, lm_weight: float,
+                 word_bonus: float, lm_vocab: int, ctx_size: int,
+                 init_ctx: int, emit_nbest: bool = False):
     if has_lm:
         table_ref, refs = refs[0], refs[1:]
     if emit_nbest:
@@ -88,58 +107,58 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     (ids_ref, outlen_ref, pfx, plen, last, pb, pnb, h1, h2,
      ctx, lmacc, bon) = refs
     t = pl.program_id(1)
-    lp_row = lp_ref[0, 0]                                # [1, C]
-    seq_len = len_ref[0, 0, 0]
+    # lp block is [1, G, 1, C] (G rides a LEADING dim: Mosaic constrains
+    # only the last two block dims); len block is [G, 1, 1]
+    lp = lp_ref[0]                                       # [G,1,C]
+    seq_len = len_ref[...]                               # [G,1,1]
 
-    subl = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)        # [K,1]
-    laneC = jax.lax.broadcasted_iota(jnp.int32, (K, C), 1)       # [K,C]
-    laneU = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)       # [K,U]
+    subl = jax.lax.broadcasted_iota(jnp.int32, (G, K, 1), 1)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (G, K, C), 2)
+    laneU = jax.lax.broadcasted_iota(jnp.int32, (G, K, U), 2)
 
     @pl.when(t == 0)
     def _init():
-        pfx[...] = jnp.full((K, U), float(PAD_ID), jnp.float32)
-        plen[...] = jnp.zeros((K, 1), jnp.float32)
-        last[...] = jnp.full((K, 1), -1.0, jnp.float32)
+        pfx[...] = jnp.full((G, K, U), float(PAD_ID), jnp.float32)
+        plen[...] = jnp.zeros((G, K, 1), jnp.float32)
+        last[...] = jnp.full((G, K, 1), -1.0, jnp.float32)
         pb[...] = jnp.where(subl == 0, 0.0, NEG).astype(jnp.float32)
-        pnb[...] = jnp.full((K, 1), NEG, jnp.float32)
-        sub_u = subl
-        h1[...] = jnp.where(subl == 0, jnp.int32(17), _POISON + sub_u)
-        h2[...] = jnp.where(subl == 0, jnp.int32(29), _POISON + sub_u)
-        ctx[...] = jnp.full((K, 1), init_ctx, jnp.int32)
-        lmacc[...] = jnp.zeros((K, 1), jnp.float32)
-        bon[...] = jnp.zeros((K, 1), jnp.float32)
+        pnb[...] = jnp.full((G, K, 1), NEG, jnp.float32)
+        h1[...] = jnp.where(subl == 0, jnp.int32(17), _POISON + subl)
+        h2[...] = jnp.where(subl == 0, jnp.int32(29), _POISON + subl)
+        ctx[...] = jnp.full((G, K, 1), init_ctx, jnp.int32)
+        lmacc[...] = jnp.zeros((G, K, 1), jnp.float32)
+        bon[...] = jnp.zeros((G, K, 1), jnp.float32)
 
-    valid = t < seq_len
+    valid = t < seq_len                                  # [G,1,1]
 
-    lastv = last[...]                                    # [K,1] f32
+    lastv = last[...]                                    # [G,K,1] f32
     pbv, pnbv = pb[...], pnb[...]
-    total = _lse2(pbv, pnbv)                             # [K,1]
+    total = _lse2(pbv, pnbv)                             # [G,K,1]
     lanef = laneC.astype(jnp.float32)
 
     # lp gathered at each beam's last char (one-hot row-sum; -1 -> 0)
-    onehot_last = (lanef == lastv).astype(jnp.float32)   # [K,C]
-    lp_last = jnp.sum(onehot_last * lp_row, axis=1, keepdims=True)
+    onehot_last = (lanef == lastv).astype(jnp.float32)   # [G,K,C]
+    lp_last = jnp.sum(onehot_last * lp, axis=2, keepdims=True)
 
     # ---- stay candidates ------------------------------------------------
-    # lp[blank]: blank is a static column
-    lp_blank = lp_row[0, blank]
-    stay_pb = total + lp_blank                           # [K,1]
+    lp_blank = lp[:, :, blank][:, :, None]               # [G,1,1]
+    stay_pb = total + lp_blank                           # [G,K,1]
     stay_pnb = jnp.where(lastv >= 0, pnbv + lp_last, NEG)
 
-    # ---- extend candidates [K, C] (cols 0..C-2; blank col = stay slot) --
+    # ---- extend candidates [G,K,C] (cols 0..C-2; blank col = stay) -----
     is_rep = lanef == lastv
-    ext_pnb = jnp.where(is_rep, pbv, total) + lp_row     # [K,C]
+    ext_pnb = jnp.where(is_rep, pbv, total) + lp          # [G,K,C]
     ext_pnb = jnp.where(laneC < C - 1, ext_pnb, NEG)
 
     # ---- pairwise merge: stay(k) vs extend(j, last_k) -------------------
-    h1r = h1[...]                                        # [K,1] int32
+    h1r = h1[...]                                        # [G,K,1] int32
     h2r = h2[...]
-    c_k = lastv                                          # [K,1]
+    c_k = lastv                                          # [G,K,1]
     c_k_u = jnp.where(c_k >= 0, c_k, 0).astype(jnp.int32)
     # hash of (prefix_j + c_k): rows k, cols j
-    h1_j = jnp.broadcast_to(h1r.reshape(1, K), (K, K))
-    h2_j = jnp.broadcast_to(h2r.reshape(1, K), (K, K))
-    h1_ext = h1_j * _M1 + (c_k_u + _A1)                  # [K,K]
+    h1_j = jnp.broadcast_to(jnp.reshape(h1r, (G, 1, K)), (G, K, K))
+    h2_j = jnp.broadcast_to(jnp.reshape(h2r, (G, 1, K)), (G, K, K))
+    h1_ext = h1_j * _M1 + (c_k_u + _A1)                  # [G,K,K]
     h2_ext = h2_j * _M2 + (c_k_u + _A2)
     match = (h1_ext == h1r) & (h2_ext == h2r) & (c_k >= 0)
     # A column j may match SEVERAL stay rows k — those are different
@@ -149,27 +168,27 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     # strings one extend CELL can only ever match one stay, so no
     # double-merge guard is needed.)
 
-    pb_j = jnp.broadcast_to(pbv.reshape(1, K), (K, K))
-    tot_j = jnp.broadcast_to(total.reshape(1, K), (K, K))
-    last_j = jnp.broadcast_to(lastv.reshape(1, K), (K, K))
-    base_j = jnp.where(last_j == c_k, pb_j, tot_j)       # [K,K]
+    pb_j = jnp.broadcast_to(jnp.reshape(pbv, (G, 1, K)), (G, K, K))
+    tot_j = jnp.broadcast_to(jnp.reshape(total, (G, 1, K)), (G, K, K))
+    last_j = jnp.broadcast_to(jnp.reshape(lastv, (G, 1, K)), (G, K, K))
+    base_j = jnp.where(last_j == c_k, pb_j, tot_j)       # [G,K,K]
     val = jnp.where(match, base_j + lp_last, NEG)
-    mval = jnp.max(val, axis=1, keepdims=True)
+    mval = jnp.max(val, axis=2, keepdims=True)
     mval = jnp.maximum(mval, NEG)
     merged_in = mval + jnp.log(
-        jnp.sum(jnp.exp(val - mval), axis=1, keepdims=True) + 1e-38)
+        jnp.sum(jnp.exp(val - mval), axis=2, keepdims=True) + 1e-38)
     stay_pnb = _lse2(stay_pnb, jnp.maximum(merged_in, NEG))
 
     # kill merged extends: ext (j, c) dies iff some k merged (j, c_k=c)
-    # kill[j, c] = any_k match[k, j] & (last_k == c):
-    # one-hot matmul (match^T [j,k]) @ (onehot_last [k,c]) on the MXU.
+    # kill[g, j, c] = any_k match[g, k, j] & (last_k == c): batched
+    # one-hot matmul (contract k) on the MXU.
     killed = jax.lax.dot_general(
         jnp.where(match, 1.0, 0.0), onehot_last,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [j(K), C]
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [G, j(K), C]
     ext_pnb = jnp.where(killed > 0.5, NEG, ext_pnb)
 
-    # ---- LM fusion state [K, C] (see module docstring) ------------------
+    # ---- LM fusion state [G(=1),K,C] (see module docstring) -------------
     lmv, bonv, ctxv = lmacc[...], bon[...], ctx[...]
     if has_lm:
         # per-beam table row via K dynamic sublane slices: the context
@@ -178,6 +197,7 @@ def _beam_kernel(lp_ref, len_ref, *refs,
         # block at (ctx//8)*8 and mask-select the row (host side pads
         # n_ctx to a multiple of 8). The row lands on beam i's sublane
         # through an outer-product add (no dynamic row writes).
+        # G is pinned to 1 on this path (see module docstring).
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
 
         def _gather_row(i, acc):
@@ -186,9 +206,9 @@ def _beam_kernel(lp_ref, len_ref, *refs,
             blk = table_ref[pl.ds(base, 8), :].astype(jnp.float32)
             row = jnp.sum(jnp.where(sub8 == ctx_i - base, blk, 0.0),
                           axis=0, keepdims=True)          # [1, C]
-            return acc + jnp.where(subl == i, 1.0, 0.0) * row
+            return acc + jnp.where(subl == i, 1.0, 0.0) * row[None]
         lm_rows = jax.lax.fori_loop(
-            0, K, _gather_row, jnp.zeros((K, C), jnp.float32))
+            0, K, _gather_row, jnp.zeros((G, K, C), jnp.float32))
         # stay (blank col) keeps the accumulated LM score; extends add
         # log P(c | ctx). The table's blank column is zero-padded, but
         # the where keeps the stay slot exact even for bf16 tables.
@@ -199,28 +219,19 @@ def _beam_kernel(lp_ref, len_ref, *refs,
             laneC == blank, ctxv,
             (ctxv * lm_vocab + laneC) % ctx_size).astype(jnp.int32)
     else:
-        cand_lm = jnp.zeros((K, C), jnp.float32)
-        cand_bon = jnp.zeros((K, C), jnp.float32)
-        cand_ctx = jnp.zeros((K, C), jnp.int32)
+        cand_lm = jnp.zeros((G, K, C), jnp.float32)
+        cand_bon = jnp.zeros((G, K, C), jnp.float32)
+        cand_ctx = jnp.zeros((G, K, C), jnp.int32)
 
-    # ---- candidate matrices [K, C] -------------------------------------
+    # ---- candidate matrices [G,K,C] ------------------------------------
     cand_pb = jnp.where(laneC == blank, stay_pb, NEG)
     cand_pnb = jnp.where(laneC == blank, stay_pnb, ext_pnb)
     scores = _lse2(cand_pb, cand_pnb)
     if has_lm:
         scores = scores + lm_weight * cand_lm + word_bonus * cand_bon
 
-    # ---- top-K selection + state rebuild -------------------------------
-    # The K-iteration argmax loop tracks only [K,1]/[K,K] state; the
-    # O(K*U) prefix work is DEFERRED out of the loop (VERDICT r4 next
-    # #2): the loop accumulates a one-hot parent matrix P [K,K] and the
-    # new chars/write-positions, then ONE [K,K]x[K,U] f32 matmul on the
-    # MXU rebuilds all K parent prefixes at once (exact: one-hot times
-    # small ints), followed by a single masked lane write. This removes
-    # the per-iteration [K,U] masked reduce + outer-product accumulate
-    # that made the loop O(K^2*U) on the VPU — measured 2.0x at the
-    # contract shape (K=64, U=256) and 4.8x at U=1024.
-    idx2d = jax.lax.broadcasted_iota(jnp.int32, (K, C), 0) * C + laneC
+    # ---- top-K selection (per group) + deferred state rebuild ----------
+    idx2d = jax.lax.broadcasted_iota(jnp.int32, (G, K, C), 1) * C + laneC
 
     pfx_f = pfx[...]
     plen_f = plen[...]
@@ -228,35 +239,49 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     def sel_body(i, carry):
         (sc, n_par, n_char, n_ext, n_plen, n_last, n_pb, n_pnb,
          n_h1, n_h2, n_lm, n_bon, n_ctx) = carry
-        m = jnp.max(sc)
-        eq = sc >= m                                     # [K,C]
-        pick = jnp.min(jnp.where(eq, idx2d, K * C))
-        sel = idx2d == pick                              # [K,C] one-hot
-        selrow = jnp.sum(jnp.where(sel, 1.0, 0.0), axis=1,
-                         keepdims=True)                  # [K,1] parent
-        c_sel = jnp.sum(jnp.where(sel, lanef, 0.0))      # scalar char
+        # NB: multi-axis reduces (axis=(1,2)) SIGABRT the Mosaic
+        # compiler — chain lane (2) then sublane (1) reductions
+        m = jnp.max(jnp.max(sc, axis=2, keepdims=True),
+                    axis=1, keepdims=True)               # [G,1,1]
+        eq = sc >= m                                     # [G,K,C]
+        pick = jnp.min(jnp.min(jnp.where(eq, idx2d, K * C),
+                               axis=2, keepdims=True),
+                       axis=1, keepdims=True)            # [G,1,1]
+        sel = idx2d == pick                              # [G,K,C]
+        selrow = jnp.sum(jnp.where(sel, 1.0, 0.0), axis=2,
+                         keepdims=True)                  # [G,K,1] parent
+        c_sel = jnp.sum(jnp.sum(jnp.where(sel, lanef, 0.0),
+                                axis=2, keepdims=True),
+                        axis=1, keepdims=True)           # [G,1,1] char
         is_stay = c_sel == float(blank)
         is_dead = m <= NEG / 2
 
-        pb_i = jnp.sum(jnp.where(sel, cand_pb, 0.0))
-        pnb_i = jnp.sum(jnp.where(sel, cand_pnb, 0.0))
+        def pick_val(cand):
+            return jnp.sum(jnp.sum(jnp.where(sel, cand, 0.0),
+                                   axis=2, keepdims=True),
+                           axis=1, keepdims=True)        # [G,1,1]
+        pb_i = pick_val(cand_pb)
+        pnb_i = pick_val(cand_pnb)
         # A dead pick re-selects an already-taken cell (all remaining
         # scores are NEG-tied, min-index wins): it must NOT inherit that
         # cell's original finite probabilities.
         pb_i = jnp.where(is_dead, NEG, pb_i)
         pnb_i = jnp.where(is_dead, NEG, pnb_i)
-        lm_i = jnp.where(is_dead, 0.0, jnp.sum(jnp.where(sel, cand_lm, 0.0)))
-        bon_i = jnp.where(is_dead, 0.0,
-                          jnp.sum(jnp.where(sel, cand_bon, 0.0)))
-        ctx_i = jnp.where(is_dead, 0, jnp.sum(jnp.where(sel, cand_ctx, 0)))
+        lm_i = jnp.where(is_dead, 0.0, pick_val(cand_lm))
+        bon_i = jnp.where(is_dead, 0.0, pick_val(cand_bon))
+        ctx_i = jnp.where(is_dead, 0,
+                          jnp.sum(jnp.sum(jnp.where(sel, cand_ctx, 0),
+                                          axis=2, keepdims=True),
+                                  axis=1, keepdims=True))
 
-        # parent scalar state ([K,1] cross-sublane masked reduces; the
-        # [K,U] prefix row itself is NOT touched here)
-        par_len = jnp.sum(plen_f * selrow)
-        par_last = jnp.sum(lastv * selrow)
+        # parent scalar state (per-group masked reduces over sublanes)
+        def red11(v):
+            return jnp.sum(v, axis=1, keepdims=True)     # [G,1,1]
+        par_len = red11(plen_f * selrow)
+        par_last = red11(lastv * selrow)
         selrow_u = selrow.astype(jnp.int32)
-        par_h1 = jnp.sum(h1r * selrow_u)
-        par_h2 = jnp.sum(h2r * selrow_u)
+        par_h1 = red11(h1r * selrow_u)
+        par_h2 = red11(h2r * selrow_u)
 
         ext = jnp.logical_not(is_stay)
         extf = jnp.where(ext, 1.0, 0.0)
@@ -275,14 +300,17 @@ def _beam_kernel(lp_ref, len_ref, *refs,
         nh1 = jnp.where(is_dead, poison_tag, nh1)
         nh2 = jnp.where(is_dead, poison_tag ^ jnp.int32(0xABCD), nh2)
 
-        rowsel = (subl == i).astype(jnp.float32)         # [K,1]
+        rowsel = (subl == i).astype(jnp.float32)         # [G,K,1]
         rowsel_u = rowsel.astype(jnp.int32)
-        # P[i, j] = 1 iff new beam i's parent is old beam j
-        n_par = n_par + rowsel * selrow.reshape(1, K)    # [K,K] outer
+        # parent INDEX per new beam (the [G,K,K] one-hot matrix is
+        # reconstructed ONCE after the loop from these indices — doing
+        # the [G,K,K] accumulate per iteration cost K x 32-tile ops)
+        par_j = red11(subl.astype(jnp.float32) * selrow)  # [G,1,1]
+        n_par = n_par + rowsel * par_j
         n_char = n_char + rowsel * c_sel
         # write position: the TRUE parent length (pre-increment, not
         # new_len - 1: a clamped new_len == U must produce NO write,
-        # exactly like the old per-iteration (laneU == par_len) mask)
+        # exactly like a (laneU == par_len) mask)
         n_ext = n_ext + rowsel * (extf * (1.0 + par_len))
         n_plen = n_plen + rowsel * new_len
         n_last = n_last + rowsel * jnp.where(is_dead, -1.0, new_last)
@@ -298,32 +326,36 @@ def _beam_kernel(lp_ref, len_ref, *refs,
                 n_h1, n_h2, n_lm, n_bon, n_ctx)
 
     init = (scores,
-            jnp.zeros((K, K), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.int32),
-            jnp.zeros((K, 1), jnp.int32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.float32),
-            jnp.zeros((K, 1), jnp.int32))
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.int32),
+            jnp.zeros((G, K, 1), jnp.int32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.float32),
+            jnp.zeros((G, K, 1), jnp.int32))
     (_, n_par, n_char, n_ext, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2,
      n_lm, n_bon, n_ctxs) = \
         jax.lax.fori_loop(0, K, sel_body, init)
 
-    # deferred prefix rebuild: all K parent rows in one MXU matmul
-    # (P is one-hot, pfx holds small ints as f32 -> exact), then one
-    # masked lane write of the new chars at each beam's parent length.
+    # deferred prefix rebuild: reconstruct the one-hot parent matrix
+    # P[g,i,j] = (parent_idx[g,i] == j) from the accumulated indices,
+    # then rebuild all G*K parent rows in one batched MXU matmul (P is
+    # one-hot, pfx holds small ints as f32 -> exact), then one masked
+    # lane write of the new chars at each parent length.
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (G, K, K), 2)
+    P = (laneK == n_par.astype(jnp.int32)).astype(jnp.float32)
     par_pfx_all = jax.lax.dot_general(
-        n_par, pfx_f, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [K, U]
+        P, pfx_f, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [G,K,U]
     # n_ext encodes 0 = stay, 1 + parent_length = extend; a parent at
     # the U clamp yields wpos == U, which no lane matches (no write)
     wpos = n_ext.astype(jnp.int32) - 1
-    writem = (laneU == wpos) & (n_ext > 0.5)             # [K, U]
+    writem = (laneU == wpos) & (n_ext > 0.5)             # [G,K,U]
     n_pfx = jnp.where(writem, n_char, par_pfx_all)
 
     # ---- commit (frozen once t >= seq_len) -----------------------------
@@ -342,27 +374,29 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     ctx[...] = jnp.where(valid, n_ctxs, ctx[...])
 
     # ---- emit current best (the t == seq_len-1 write survives) ---------
-    fscore = _lse2(pb[...], pnb[...])                    # [K,1]
+    fscore = _lse2(pb[...], pnb[...])                    # [G,K,1]
     if has_lm:
         fscore = fscore + lm_weight * lmacc[...] + word_bonus * bon[...]
     if emit_nbest:
         # whole beam, unsorted (host side argsorts by score): pfx rows
         # masked to their lengths, plus per-beam fused scores.
-        lenk = plen[...].astype(jnp.int32)               # [K,1]
+        lenk = plen[...].astype(jnp.int32)               # [G,K,1]
         ids_k = jnp.where(laneU < lenk, pfx[...], float(PAD_ID))
-        ids_ref[0] = ids_k.astype(jnp.int32)
-        outlen_ref[0] = lenk
-        score_ref[0] = fscore
+        ids_ref[...] = ids_k.astype(jnp.int32)
+        outlen_ref[...] = lenk
+        score_ref[...] = fscore
         return
-    best = jnp.max(fscore)
-    bidx = jnp.min(jnp.where(fscore >= best, subl, K))
-    brow = (subl == bidx).astype(jnp.float32)
-    ids = jnp.sum(pfx[...] * brow, axis=0, keepdims=True)  # [1,U]
-    blen = jnp.sum(plen[...] * brow)
-    ids = jnp.where(laneU[0:1] < blen.astype(jnp.int32), ids,
+    best = jnp.max(fscore, axis=1, keepdims=True)        # [G,1,1]
+    bidx = jnp.min(jnp.where(fscore >= best, subl, K), axis=1,
+                   keepdims=True)
+    brow = (subl == bidx).astype(jnp.float32)            # [G,K,1]
+    ids = jnp.sum(pfx[...] * brow, axis=1, keepdims=True)  # [G,1,U]
+    blen = jnp.sum(plen[...] * brow, axis=1, keepdims=True)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (G, 1, U), 2)
+    ids = jnp.where(lane1 < blen.astype(jnp.int32), ids,
                     float(PAD_ID))
-    ids_ref[0] = ids.astype(jnp.int32)
-    outlen_ref[0] = blen.astype(jnp.int32).reshape(1, 1)
+    ids_ref[...] = ids.astype(jnp.int32)
+    outlen_ref[...] = blen.astype(jnp.int32)
 
 
 # LM tables above this many contexts ride in VMEM as bf16 (order-4 =
@@ -372,11 +406,40 @@ def _beam_kernel(lp_ref, len_ref, *refs,
 _LM_F32_MAX_CTX = 4096
 _LM_MAX_CTX = 65536
 
-# Decode-buffer lanes bound: pfx [K,U] f32 plus the top-K rebuild's
-# [K,U] temporaries stay well inside VMEM at K=64, U=1024 (~0.5 MB);
-# past that, per-step [K,U] work dominates and the XLA decoder is the
-# right tool. Configs that derive a larger U fail loudly (VERDICT r1 #6).
+# Decode-buffer lanes bound: pfx [G,K,U] f32 plus the top-K rebuild's
+# [G,K,U] temporaries stay well inside VMEM at G=8, K=64, U=1024
+# (~4 MB across the live buffers); past that, per-step [K,U] work
+# dominates and the XLA decoder is the right tool. Configs that derive
+# a larger U fail loudly (VERDICT r1 #6).
 _MAX_U = 1024
+# Scoped-VMEM budget for the G pick. Mosaic keeps the (unrolled)
+# top-K loop's per-iteration temporaries live on its VMEM stack —
+# measured ~4.9 MB per row group at K=64/U=256 — so the grouped kernel
+# compiles with a raised vmem_limit_bytes (the lstm_pallas pattern,
+# 100M on v5-class parts) and G is chosen so the measured-slope stack
+# estimate stays inside the budget.
+_G_VMEM_BUDGET = 80 * 1024 * 1024
+_G_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _g_stack_bytes(g: int, K: int, U: int) -> int:
+    """Scoped-stack estimate for one grid step at G=g, calibrated to
+    the compiler's report (39.1 MB at G=8, K=64, U=256): the unrolled
+    K-iteration loop holds ~[K,C]+[K,K]+[K,1] temporaries per
+    iteration plus the [G,K,U] prefix buffers."""
+    per_iter = K * (128 + K + 16) * 4          # [K,C~128]+[K,K]+[K,1]s
+    return g * (K * per_iter + 8 * K * U * 4)
+
+
+def _pick_rows_per_step(B: int, K: int, U: int, has_lm: bool) -> int:
+    """Batch rows per grid step (see module docstring). LM fusion pins
+    G=1 (its table gather is a per-beam dynamic-slice loop)."""
+    if has_lm:
+        return 1
+    g = 8
+    while g > 1 and (_g_stack_bytes(g, K, U) > _G_VMEM_BUDGET or g > B):
+        g //= 2
+    return max(g, 1)
 
 
 def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
@@ -411,15 +474,23 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
     if blank_id != C - 1:
         raise ValueError("kernel assumes blank is the last class")
     has_lm = lm_table is not None and (lm_weight != 0.0 or word_bonus != 0.0)
+    G = _pick_rows_per_step(B, K, U, has_lm)
+    Bp = ((B + G - 1) // G) * G
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # Singleton axes keep every block dim either full-size or size-1 of
-    # a size-1 array dim (Mosaic block-shape divisibility rule).
+    # Singleton axes keep every CONSTRAINED block dim (the last two)
+    # either full-size or size-1 of a size-1 array dim; the G rows ride
+    # leading dims, which Mosaic leaves unconstrained.
     lp_t = jnp.moveaxis(log_probs, 0, 1)[:, :, None, :]  # [T, B, 1, C]
+    lens = logit_lengths.reshape(-1, 1, 1).astype(jnp.int32)
+    if Bp != B:
+        # pad rows decode nothing (length 0) and are cropped below
+        lp_t = jnp.pad(lp_t, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
+        lens = jnp.pad(lens, ((0, Bp - B), (0, 0), (0, 0)))
 
-    inputs = [lp_t, logit_lengths.reshape(-1, 1, 1).astype(jnp.int32)]
+    inputs = [lp_t, lens]
     in_specs = [
-        pl.BlockSpec((1, 1, 1, C), lambda b, t: (t, b, 0, 0)),
-        pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
+        pl.BlockSpec((1, G, 1, C), lambda b, t: (t, b, 0, 0)),
+        pl.BlockSpec((G, 1, 1), lambda b, t: (b, 0, 0)),
     ]
     ctx_size = 1
     if has_lm:
@@ -445,52 +516,56 @@ def beam_search_decode_pallas(logits, logit_lengths, beam_width: int = 64,
             pl.BlockSpec((n_ctx + n_pad, C), lambda b, t: (0, 0)))
 
     kernel = functools.partial(
-        _beam_kernel, K=K, C=C, U=U, T=T, blank=blank_id, space=space_id,
-        has_lm=has_lm, lm_weight=lm_weight, word_bonus=word_bonus,
-        lm_vocab=lm_vocab, ctx_size=ctx_size, init_ctx=init_ctx,
-        emit_nbest=return_nbest)
+        _beam_kernel, G=G, K=K, C=C, U=U, T=T, blank=blank_id,
+        space=space_id, has_lm=has_lm, lm_weight=lm_weight,
+        word_bonus=word_bonus, lm_vocab=lm_vocab, ctx_size=ctx_size,
+        init_ctx=init_ctx, emit_nbest=return_nbest)
     kout = K if return_nbest else 1
     out_specs = [
-        pl.BlockSpec((1, kout, U), lambda b, t: (b, 0, 0)),
-        pl.BlockSpec((1, kout, 1), lambda b, t: (b, 0, 0)),
+        pl.BlockSpec((G, kout, U), lambda b, t: (b, 0, 0)),
+        pl.BlockSpec((G, kout, 1), lambda b, t: (b, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, kout, U), jnp.int32),
-        jax.ShapeDtypeStruct((B, kout, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, kout, U), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, kout, 1), jnp.int32),
     ]
     if return_nbest:
-        out_specs.append(pl.BlockSpec((1, K, 1), lambda b, t: (b, 0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((B, K, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((G, K, 1), lambda b, t: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((Bp, K, 1), jnp.float32))
     outs = pl.pallas_call(
         kernel,
-        grid=(B, T),
+        grid=(Bp // G, T),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((K, U), jnp.float32),   # pfx
-            pltpu.VMEM((K, 1), jnp.float32),   # plen
-            pltpu.VMEM((K, 1), jnp.float32),   # last
-            pltpu.VMEM((K, 1), jnp.float32),   # pb
-            pltpu.VMEM((K, 1), jnp.float32),   # pnb
-            pltpu.VMEM((K, 1), jnp.int32),     # h1
-            pltpu.VMEM((K, 1), jnp.int32),     # h2
-            pltpu.VMEM((K, 1), jnp.int32),     # ctx (LM context id)
-            pltpu.VMEM((K, 1), jnp.float32),   # lmacc (sum log P_lm)
-            pltpu.VMEM((K, 1), jnp.float32),   # bon (word-bonus count)
+            pltpu.VMEM((G, K, U), jnp.float32),   # pfx
+            pltpu.VMEM((G, K, 1), jnp.float32),   # plen
+            pltpu.VMEM((G, K, 1), jnp.float32),   # last
+            pltpu.VMEM((G, K, 1), jnp.float32),   # pb
+            pltpu.VMEM((G, K, 1), jnp.float32),   # pnb
+            pltpu.VMEM((G, K, 1), jnp.int32),     # h1
+            pltpu.VMEM((G, K, 1), jnp.int32),     # h2
+            pltpu.VMEM((G, K, 1), jnp.int32),     # ctx (LM context id)
+            pltpu.VMEM((G, K, 1), jnp.float32),   # lmacc (sum log P_lm)
+            pltpu.VMEM((G, K, 1), jnp.float32),   # bon (word-bonus ct)
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_G_VMEM_LIMIT) if G > 1 else None,
         interpret=interpret,
     )(*inputs)
     if return_nbest:
-        ids, lens, scores = outs
+        ids, lens_o, scores = outs
+        ids, lens_o, scores = ids[:B], lens_o[:B], scores[:B]
         scores = scores[..., 0]                          # [B, K]
         order = jnp.argsort(-scores, axis=1)
         ids = jnp.take_along_axis(ids, order[..., None], axis=1)
-        lens = jnp.take_along_axis(lens[..., 0], order, axis=1)
+        lens_o = jnp.take_along_axis(lens_o[..., 0], order, axis=1)
         scores = jnp.take_along_axis(scores, order, axis=1)
-        return ids, lens, scores
-    ids, lens = outs
-    return ids[:, 0], lens[:, 0, 0]
+        return ids, lens_o, scores
+    ids, lens_o = outs
+    return ids[:B, 0], lens_o[:B, 0, 0]
 
 
 def make_beam_decoder_pallas(beam_width: int, table, lm_weight: float,

@@ -43,7 +43,25 @@ from jax.experimental.pallas import tpu as pltpu
 from ..text import BLANK_ID
 from .ctc_ref import NEG_INF, extended_labels
 
-TB = 8          # batch tile (f32 sublanes)
+TB = 8          # minimum batch tile (f32 sublanes)
+# Batch rows per grid step. The DP's serial chain is over TIME only;
+# batch tiles are independent, and iterating them in the grid's MAJOR
+# dimension (the original (B/8, T) grid) serializes them — at the
+# contract shape (B=128, T=400, S=256) that was 6400 grid steps of a
+# tiny [8, 256] block, and the measured wall was per-grid-step
+# overhead (scripts/diag_decode_roofline.py). Processing the whole
+# padded batch in one block (grid (T,), [128, 256] blocks) cuts the
+# step count 16x and amortizes each VPU op over 64 tiles — measured
+# (v5e, scan-chained protocol): alpha 2.21 -> 1.25 ms, beta
+# 2.72 -> 1.60 ms, full fwd+bwd 4.84 -> 2.60 ms (1.7-1.9x). The new
+# alpha runs at 0.91x the XLA same-op-mix elementwise ceiling for the
+# footprint, i.e. at the transcendental (exp/log) wall: the 3-way
+# log-sum-exp costs ~4 transcendentals/element, so the kernel is
+# exp-throughput-bound, NOT HBM-bound (the same-footprint XLA
+# elementwise pass itself reaches only ~76 GB/s). Capped so the
+# streamed blocks + carries stay well inside VMEM; batches beyond the
+# cap tile the grid exactly as before.
+TB_MAX = 256
 LANE = 128      # lane width
 
 
@@ -78,15 +96,16 @@ def _shift_left(x, k, fill=NEG_INF):
 
 def _alpha_kernel(lpz_ref, skip_ref, len_ref, end_ref,
                   alphas_ref, nll_ref, alpha_c):
-    """Grid (B//TB, T), t minor. Blocks:
+    """Grid (B//TB, T), t minor (the batch dim is 1 wide whenever the
+    padded batch fits one TB_MAX block). Blocks:
     lpz [1, TB, S]; skip [TB, S]; len/end [TB, 1];
     out alphas [1, TB, S]; nll [TB, 1]; scratch alpha_c [TB, S]."""
     t = pl.program_id(1)
     T = pl.num_programs(1)
     lpz = lpz_ref[0]                      # [TB, S]
     lens = len_ref[:, 0]                  # [TB]
-    S = lpz.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+    TB_, S = lpz.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB_, S), 1)
 
     @pl.when(t == 0)
     def _init():
@@ -137,13 +156,13 @@ def _beta_kernel(lpz_ref, alphas_ref, skip_ref, len_ref, end_ref, nll_ref,
     lens = len_ref[:, 0]
     T = pl.num_programs(1)
     t = T - 1 - it
-    S = lpz.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+    TB_, S = lpz.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB_, S), 1)
 
     @pl.when(it == 0)
     def _reset():
-        beta_c[...] = jnp.full((TB, S), NEG_INF, jnp.float32)
-        plpz_c[...] = jnp.full((TB, S), NEG_INF, jnp.float32)
+        beta_c[...] = jnp.full((TB_, S), NEG_INF, jnp.float32)
+        plpz_c[...] = jnp.full((TB_, S), NEG_INF, jnp.float32)
 
     # Recursion from the carry (valid when t < len-1):
     x = plpz_c[...] + beta_c[...]
@@ -178,10 +197,17 @@ def _beta_kernel(lpz_ref, alphas_ref, skip_ref, len_ref, end_ref, nll_ref,
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
-def _pad_inputs(lpz_t, can_skip, lens, ends):
-    """Pad B to a TB multiple and S to a LANE multiple."""
-    T, B, S = lpz_t.shape
+def _batch_tile(B: int) -> int:
+    """Batch rows per grid step: the whole padded batch up to TB_MAX,
+    then grid-tiled (see TB_MAX rationale)."""
     Bp = _round_up(max(B, TB), TB)
+    return Bp if Bp <= TB_MAX else TB_MAX
+
+
+def _pad_inputs(lpz_t, can_skip, lens, ends):
+    """Pad B to a batch-tile multiple and S to a LANE multiple."""
+    T, B, S = lpz_t.shape
+    Bp = _round_up(max(B, TB), _batch_tile(B))
     Sp = _round_up(S, LANE)
     if (Bp, Sp) != (B, S):
         lpz_t = jnp.pad(lpz_t, ((0, 0), (0, Bp - B), (0, Sp - S)),
@@ -194,25 +220,26 @@ def _pad_inputs(lpz_t, can_skip, lens, ends):
 
 def _run_alpha(lpz_t, can_skip, lens, ends, interpret: bool):
     T, Bp, Sp = lpz_t.shape
-    grid = (Bp // TB, T)
+    TBe = _batch_tile(Bp)
+    grid = (Bp // TBe, T)
     alphas, nll = pl.pallas_call(
         _alpha_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TB, Sp), lambda ib, it: (it, ib, 0)),
-            pl.BlockSpec((TB, Sp), lambda ib, it: (ib, 0)),
-            pl.BlockSpec((TB, 1), lambda ib, it: (ib, 0)),
-            pl.BlockSpec((TB, 1), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((1, TBe, Sp), lambda ib, it: (it, ib, 0)),
+            pl.BlockSpec((TBe, Sp), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((TBe, 1), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((TBe, 1), lambda ib, it: (ib, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TB, Sp), lambda ib, it: (it, ib, 0)),
-            pl.BlockSpec((TB, 1), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((1, TBe, Sp), lambda ib, it: (it, ib, 0)),
+            pl.BlockSpec((TBe, 1), lambda ib, it: (ib, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, Bp, Sp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((TB, Sp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TBe, Sp), jnp.float32)],
         interpret=interpret,
     )(lpz_t, can_skip,
       lens.reshape(-1, 1).astype(jnp.int32),
@@ -222,23 +249,24 @@ def _run_alpha(lpz_t, can_skip, lens, ends, interpret: bool):
 
 def _run_beta(lpz_t, alphas, can_skip, lens, ends, nll, interpret: bool):
     T, Bp, Sp = lpz_t.shape
-    grid = (Bp // TB, T)
+    TBe = _batch_tile(Bp)
+    grid = (Bp // TBe, T)
     rev = lambda ib, it: (T - 1 - it, ib, 0)  # noqa: E731
     grad = pl.pallas_call(
         _beta_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TB, Sp), rev),
-            pl.BlockSpec((1, TB, Sp), rev),
-            pl.BlockSpec((TB, Sp), lambda ib, it: (ib, 0)),
-            pl.BlockSpec((TB, 1), lambda ib, it: (ib, 0)),
-            pl.BlockSpec((TB, 1), lambda ib, it: (ib, 0)),
-            pl.BlockSpec((TB, 1), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((1, TBe, Sp), rev),
+            pl.BlockSpec((1, TBe, Sp), rev),
+            pl.BlockSpec((TBe, Sp), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((TBe, 1), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((TBe, 1), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((TBe, 1), lambda ib, it: (ib, 0)),
         ],
-        out_specs=pl.BlockSpec((1, TB, Sp), rev),
+        out_specs=pl.BlockSpec((1, TBe, Sp), rev),
         out_shape=jax.ShapeDtypeStruct((T, Bp, Sp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TB, Sp), jnp.float32),
-                        pltpu.VMEM((TB, Sp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TBe, Sp), jnp.float32),
+                        pltpu.VMEM((TBe, Sp), jnp.float32)],
         interpret=interpret,
     )(lpz_t, alphas, can_skip,
       lens.reshape(-1, 1).astype(jnp.int32),

@@ -64,7 +64,33 @@ def timeit(fn, *args, reps=10):
     return max(dt / reps, 1e-9)
 
 
-def ctc_accounting(B=128, T=400, U=96, reps=20):
+def chain_time(fn_scalar, x, reps=24):
+    """Time ``fn_scalar(x) -> scalar`` by scan-chaining ``reps``
+    invocations inside ONE jit (one dispatch, one host fetch): the
+    per-dispatch tunnel jitter (~±0.5 ms) would otherwise swamp
+    ms-scale kernels. A per-iteration input perturbation defeats CSE."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(c, i):
+            out = fn_scalar(x + 1e-9 * i)
+            return c + out, None
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(reps, dtype=jnp.float32))
+        return tot
+    _fetch(run(x))  # compile
+    t0 = time.perf_counter()
+    _fetch(run(x))
+    one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _fetch(run(x))
+    two = time.perf_counter() - t0
+    return min(one, two) / reps
+
+
+def ctc_accounting(B=128, T=400, U=96, reps=24):
     import jax
     import jax.numpy as jnp
     from ctc_asr_tpu.ops import ctc_pallas as cp
@@ -80,14 +106,13 @@ def ctc_accounting(B=128, T=400, U=96, reps=20):
     lablens = jnp.full((B,), U, jnp.int32)
 
     # forward only (alpha kernel): nll
-    fwd = jax.jit(lambda lg: cp.ctc_loss_pallas(lg, llens, labels,
-                                                lablens).sum())
-    t_fwd = timeit(fwd, logits, reps=reps)
+    t_fwd = chain_time(lambda lg: cp.ctc_loss_pallas(
+        lg, llens, labels, lablens).sum(), logits, reps=reps)
 
     # fwd + bwd (alpha + beta kernels + XLA softmax/scatter chain)
-    fb = jax.jit(jax.grad(lambda lg: cp.ctc_loss_pallas(
-        lg, llens, labels, lablens).sum()))
-    t_fb = timeit(fb, logits, reps=reps)
+    grad_fn = jax.grad(lambda lg: cp.ctc_loss_pallas(
+        lg, llens, labels, lablens).sum())
+    t_fb = chain_time(lambda lg: grad_fn(lg).sum(), logits, reps=reps)
 
     # --- DP-core-only timings (the custom-vjp boundary) ---------------
     log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -104,15 +129,14 @@ def ctc_accounting(B=128, T=400, U=96, reps=20):
     lpz_p, skip_p, lens_p, ends_p, _, _, _ = cp._pad_inputs(
         lpz_t, can_skip, llens, ends)
 
-    alpha_only = jax.jit(lambda a: cp._run_alpha(a, skip_p, lens_p,
-                                                 ends_p, False)[1])
-    t_alpha = timeit(alpha_only, lpz_p, reps=reps)
+    t_alpha = chain_time(lambda a: cp._run_alpha(
+        a, skip_p, lens_p, ends_p, False)[1].sum(), lpz_p, reps=reps)
 
     alphas, nll_p = jax.jit(lambda a: cp._run_alpha(
         a, skip_p, lens_p, ends_p, False))(lpz_p)
-    beta_only = jax.jit(lambda a, al, nl: cp._run_beta(
-        a, al, skip_p, lens_p, ends_p, nl, False))
-    t_beta = timeit(beta_only, lpz_p, alphas, nll_p, reps=reps)
+    t_beta = chain_time(lambda a: cp._run_beta(
+        a, alphas, skip_p, lens_p, ends_p, nll_p, False).sum(),
+        lpz_p, reps=reps)
 
     # --- floors -------------------------------------------------------
     blk = T * Bp * Sp * 4  # one [T,B,S] f32 array
@@ -127,7 +151,6 @@ def ctc_accounting(B=128, T=400, U=96, reps=20):
     # if HBM were free and the DP had no serial chain.
     x = jnp.asarray(rng.standard_normal((T, Bp, Sp)), jnp.float32)
 
-    @jax.jit
     def elem_mix(v):
         a = jnp.maximum(v, -1.0)
         b = jnp.maximum(v * 0.5 + 1.0, a)
@@ -135,7 +158,7 @@ def ctc_accounting(B=128, T=400, U=96, reps=20):
         out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m)
                           + jnp.exp(v - m))
         return jnp.maximum(out, -1e30).sum()
-    t_elem = timeit(elem_mix, x, reps=reps)
+    t_elem = chain_time(elem_mix, x, reps=reps)
 
     elems = T * Bp * Sp
     return {
