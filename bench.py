@@ -405,9 +405,10 @@ def main():
     if not (ckpt and man):
         default_dir = "/tmp/ctc_asr_tpu/bench_assets"
         dman = os.path.join(default_dir, "manifest.csv")
-        dckpt = os.path.join(default_dir, "ckpt")
-        if os.path.exists(dman) and os.path.isdir(dckpt):
-            ckpt, man = dckpt, dman
+        if os.path.exists(dman) and \
+                os.path.isdir(os.path.join(default_dir, "ckpt")):
+            # bench_converged_decode appends "/ckpt" to non-.npz paths
+            ckpt, man = default_dir, dman
     if ckpt and man:
         try:
             extra.update(bench_converged_decode(cfg, batch, ckpt, man))

@@ -338,12 +338,17 @@ def cmd_prepare_features(argv):
     _common(p)
     p.add_argument("--manifest", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--dtype", default="float16",
+                   choices=("float16", "int8"),
+                   help="cache wire dtype; int8 halves upload bytes "
+                        "again (fixed-scale quantization, measured "
+                        "WER-neutral — BASELINE.md round-5 wire table)")
     args = p.parse_args(rest)
     cfg = _load_cfg(args, overrides)
     from .data.feature_cache import build_feature_cache
     from .data.manifest import read_manifest
     build_feature_cache(read_manifest(args.manifest), cfg.data,
-                        cfg.features, args.out)
+                        cfg.features, args.out, dtype=args.dtype)
     print(args.out)
     return 0
 

@@ -36,6 +36,15 @@ import numpy as np
 
 from ..config import DataConfig, FeatureConfig
 
+# Fixed dequantization scale for the int8 cache wire: cached features
+# are POST-normalization (~zero-mean unit-variance), so a fixed scale
+# of 16 covers +-7.9 sigma at 1/16 resolution (quantization noise
+# sigma ~ 0.018 against unit-variance features). A fixed scale keeps
+# the wire a bare int8 tensor - no per-utterance side channel through
+# the loader/step signatures. Shared by build (quantize) and
+# features.extract_features (device dequant).
+FEATURE_INT8_SCALE = 16.0
+
 
 def feature_key(cfg: FeatureConfig) -> str:
     """Stable fingerprint of every field that changes feature values.
@@ -63,13 +72,21 @@ def _check_cacheable(cfg: FeatureConfig) -> None:
 
 def build_feature_cache(manifest, data_cfg: DataConfig,
                         feat_cfg: FeatureConfig, out_dir: str,
-                        progress_every: int = 50) -> str:
+                        progress_every: int = 50,
+                        dtype: str = "float16") -> str:
     """Extract features for every manifest utterance and write the cache.
 
     Runs the normal device-side frontend (Pallas when available) over
     loader-bucketed batches, fetches the valid rows/frames, and appends
     them to ``features.bin``. Returns ``out_dir``.
+
+    ``dtype``: "float16" (default) or "int8" — the int8 wire halves
+    upload bytes again (8 kB/s for mel-80) at fixed-scale quantization
+    (FEATURE_INT8_SCALE); measured WER-neutral on the hard corpus
+    (BASELINE.md round-5 wire table).
     """
+    if dtype not in ("float16", "int8"):
+        raise ValueError(f"unsupported cache dtype {dtype!r}")
     import jax.numpy as jnp
 
     from .. import features as feat_mod
@@ -96,7 +113,12 @@ def build_feature_cache(manifest, data_cfg: DataConfig,
             feats, flens = feat_mod.extract_features(
                 jnp.asarray(batch.samples), jnp.asarray(batch.sample_lengths),
                 feat_cfg)
-            feats = np.asarray(feats, np.float16)
+            if dtype == "int8":
+                feats = np.clip(np.rint(np.asarray(feats, np.float32)
+                                        * FEATURE_INT8_SCALE),
+                                -127, 127).astype(np.int8)
+            else:
+                feats = np.asarray(feats, np.float16)
             flens = np.asarray(flens)
             for i in range(batch.valid):
                 path = batch.paths[i]
@@ -110,13 +132,16 @@ def build_feature_cache(manifest, data_cfg: DataConfig,
                 if progress_every and n_done % progress_every == 0:
                     print(f"[feature-cache] {n_done}/{len(manifest)} "
                           "utterances", flush=True)
-    index = {"dim": dim, "dtype": "float16",
+    index = {"dim": dim, "dtype": dtype,
              "feature_key": feature_key(feat_cfg), "entries": entries}
+    if dtype == "int8":
+        index["int8_scale"] = FEATURE_INT8_SCALE
     with open(os.path.join(out_dir, "index.json"), "w") as f:
         json.dump(index, f)
+    isize = 1 if dtype == "int8" else 2
     print(f"[feature-cache] wrote {n_done} utterances "
-          f"({offset} frames, {offset * dim * 2 / 1e6:.1f} MB) to {out_dir}",
-          flush=True)
+          f"({offset} frames, {offset * dim * isize / 1e6:.1f} MB, "
+          f"{dtype}) to {out_dir}", flush=True)
     return out_dir
 
 
@@ -135,16 +160,25 @@ class FeatureCache:
                     f"CLI).\n  cache: {index['feature_key']}\n"
                     f"  config: {want}")
         self.dim = int(index["dim"])
+        self.dtype = index.get("dtype", "float16")
+        self.np_dtype = {"float16": np.float16,
+                         "int8": np.int8}[self.dtype]
+        if self.dtype == "int8" and \
+                index.get("int8_scale") != FEATURE_INT8_SCALE:
+            raise ValueError(
+                f"int8 cache at {cache_dir} was built with scale "
+                f"{index.get('int8_scale')}, this build expects "
+                f"{FEATURE_INT8_SCALE} — rebuild the cache")
         self.entries = index["entries"]
         self._data = np.memmap(os.path.join(cache_dir, "features.bin"),
-                               dtype=np.float16, mode="r").reshape(
+                               dtype=self.np_dtype, mode="r").reshape(
                                    -1, self.dim)
 
     def __contains__(self, path: str) -> bool:
         return path in self.entries
 
     def read(self, path: str) -> np.ndarray:
-        """[n_frames, dim] float16 view (zero-copy) for one utterance."""
+        """[n_frames, dim] cache-dtype view (zero-copy), one utterance."""
         try:
             off, n = self.entries[path]
         except KeyError:
@@ -155,9 +189,9 @@ class FeatureCache:
         return self._data[off:off + n]
 
     def read_batch(self, paths: list, max_frames: int):
-        """Padded [B, max_frames, dim] float16 + frame lengths [B]."""
+        """Padded [B, max_frames, dim] cache-dtype + frame lengths [B]."""
         B = len(paths)
-        out = np.zeros((B, max_frames, self.dim), np.float16)
+        out = np.zeros((B, max_frames, self.dim), self.np_dtype)
         lens = np.zeros((B,), np.int32)
         for i, p in enumerate(paths):
             x = self.read(p)

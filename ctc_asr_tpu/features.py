@@ -204,6 +204,14 @@ def extract_features(samples: jnp.ndarray, sample_lengths: jnp.ndarray,
     passed through (cast to f32) with no DSP or re-normalization.
     """
     if samples.ndim == 3:
+        if samples.dtype == jnp.int8:
+            # int8 feature-cache wire: fixed-scale quantized
+            # post-normalization features (data/feature_cache.py
+            # FEATURE_INT8_SCALE) — dequantize on device
+            from .data.feature_cache import FEATURE_INT8_SCALE
+            return (samples.astype(jnp.float32)
+                    * (1.0 / FEATURE_INT8_SCALE),
+                    sample_lengths.astype(jnp.int32))
         return (samples.astype(jnp.float32),
                 sample_lengths.astype(jnp.int32))
     if samples.dtype == jnp.int16:

@@ -231,7 +231,8 @@ def precompile_bucket_shapes(step_fn, state, loader, cfg: Config) -> None:
         st = zeros_state(state)
         if loader.cache is not None:
             samples = jnp.zeros((B, loader.bucket_frames(bucket_id),
-                                 loader.cache.dim), jnp.float16)
+                                 loader.cache.dim),
+                                loader.cache.np_dtype)
         else:
             samples = jnp.zeros((B, bspec.max_samples), sdtype)
         slens = jnp.ones((B,), jnp.int32)
