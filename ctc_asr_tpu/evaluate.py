@@ -158,7 +158,9 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
     total_audio = 0.0
     import time
     t0 = time.perf_counter()
-    t_warm, audio_warm = t0, 0.0
+    t_prev = t0
+    steady_wall, steady_audio = 0.0, 0.0
+    seen_buckets: set = set()
     shown = 0
     from .train import device_batches
     src = loader.iter_epoch(0)
@@ -186,10 +188,21 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
                       flush=True)
                 shown += 1
         total_audio += batch.audio_seconds
-        if bi == 0:
-            # first batch pays jit compilation (tens of seconds through
-            # the axon relay); exclude it from the steady-state RTF
-            t_warm, audio_warm = time.perf_counter(), total_audio
+        # Steady-state accounting: the FIRST batch of EACH length
+        # bucket pays that bucket shape's jit trace+compile (tens of
+        # seconds through the axon relay — and there is one encoder +
+        # one decoder program PER bucket, so excluding only batch 0
+        # left bucket 1's compile inside the window, inflating every
+        # multi-bucket "converged RTF" by up to ~0.005). The per-batch
+        # np.asarray(ids) fetch above is a true barrier, so per-batch
+        # wall deltas are meaningful.
+        now = time.perf_counter()
+        if batch.bucket_id in seen_buckets:
+            steady_wall += now - t_prev
+            steady_audio += batch.audio_seconds
+        else:
+            seen_buckets.add(batch.bucket_id)
+        t_prev = now
     wall = time.perf_counter() - t0
     if jax.process_count() > 1:
         # multi-process: each process decoded its own loader shard.
@@ -222,12 +235,12 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
     out.update(acc.bootstrap_ci())
     out["per_utt"] = list(acc.utt_records)
     # RTF: processing time per second of audio (north-star decode metric,
-    # BASELINE.json:2). <1 means faster than real time. Steady-state
-    # (post-compile) when more than one batch ran; rtf_incl_compile has
-    # the raw number.
-    steady_audio = total_audio - audio_warm
+    # BASELINE.json:2). <1 means faster than real time. Steady-state =
+    # every batch except each bucket's first (which pays that shape's
+    # jit compile — see the loop comment); rtf_incl_compile has the
+    # raw number.
     if steady_audio > 0:
-        out["rtf"] = (wall - (t_warm - t0)) / steady_audio
+        out["rtf"] = steady_wall / steady_audio
     else:
         out["rtf"] = wall / max(total_audio, 1e-9)
     out["rtf_incl_compile"] = wall / max(total_audio, 1e-9)
