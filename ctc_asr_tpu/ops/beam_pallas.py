@@ -27,30 +27,32 @@ on sublanes, C = classes on lanes, U = max decode length on lanes):
     distinct extend cells (j, c_k)); every match is a real merge.
     Merged extends are killed via a batched [G,K,K] x [G,K,C] one-hot
     matmul.
-  * **Top-K**: K iterations of per-group global-max -> first-index
-    one-hot -> mask-out over the [G, K, C] candidate score matrix; the
-    loop tracks only [G,K,1]/[G,K,K] state (a one-hot parent matrix P
-    and the new chars/write positions); ONE batched [G,K,K]x[G,K,U]
-    MXU matmul after the loop rebuilds all parent prefixes (exact:
-    one-hot times small ints) followed by a single masked lane write.
+  * **Top-K**: a LAZY ROW-BEST loop — each row's best candidate
+    (value, column) is maintained in [G, K, 1]; per iteration the
+    global best row-best is popped (identical selection order to a
+    flat argmin over tied maxima), the popped CELL is masked, and the
+    row bests refresh: ~6 [G,K,C]-class ops per iteration. ALL value
+    extraction and state rebuilding happens ONCE post-loop: a one-hot
+    parent matrix P (from the recorded parent indices) gathers parent
+    prefixes/state via batched MXU matmuls, and candidate values
+    gather BIT-EXACTLY via 8-bit chunked one-hot matmuls (the Mosaic
+    in-kernel f32 dot is a single bf16 pass — only 8-bit ints survive
+    exactly; measured: 12-bit err 4, 16-bit err 64).
   * Beams created from exhausted (NEG-score) candidates get poisoned,
     step-unique hashes so they can never merge with live beams.
 
-- **Why a G dimension** (measured, scripts/diag_decode_roofline.py +
-  DESIGN.md §4b): at G=1 the top-K loop's per-iteration cost is
-  CONSTANT in K (0.94 us at K=16 vs 0.83 us at K=64 on v5e) — the
-  serial chain of small-tile VPU ops is op-issue-latency-bound, not
-  throughput-bound — and the (B, T) grid serializes batch rows that
-  are completely independent. Batching G rows per grid step makes
-  every issued op cover G items. Measured (G=8): **5.2x** at K=16
-  (B=128, T=400: 562 -> 108 ms) where latency dominated; **1.40x** at
-  the contract K=64 (2542 -> 1817 ms), where the grouped tiles become
-  VPU-throughput-bound (time scales ~K^2: K iterations x K-sublane
-  tiles) — that throughput wall is the kernel's remaining
-  speed-of-light gap and is quantified in DESIGN.md. The LM-fusion
-  path keeps G=1 (its per-beam table gather is a K-iteration
-  dynamic-slice loop that G would multiply) but still gains 1.19x from
-  the deferred prefix rebuild.
+- **Why a G dimension and the lazy loop** (measured,
+  scripts/diag_decode_roofline.py + DESIGN.md §4c): at G=1 the
+  original top-K loop's per-iteration cost was CONSTANT in K (0.94 us
+  at K=16 vs 0.83 us at K=64 on v5e) — op-issue-latency-bound — and
+  the (B, T) grid serializes independent batch rows. G=8 rows per
+  grid step amortize the issue latency; the lazy row-best loop then
+  cuts the per-iteration op count ~4x for the now-throughput-bound
+  K=64 tiles. Cumulative at B=128/T=400 vs the round-4 kernel:
+  **2.70x** at the contract K=64 (2542 -> 941 ms), **7.3x** at K=16
+  (562 -> 77 ms), **1.72x** on the LM-fusion path (3219 -> 1874 ms;
+  it keeps G=1 because its per-beam table gather is a K-iteration
+  dynamic-slice loop that G would multiply).
 
 LM shallow fusion (BASELINE.json:10) IS kernelized: the dense char
 n-gram table (ops/lm.py) rides in VMEM as a grid-constant input block
@@ -230,132 +232,150 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     if has_lm:
         scores = scores + lm_weight * cand_lm + word_bonus * cand_bon
 
-    # ---- top-K selection (per group) + deferred state rebuild ----------
-    idx2d = jax.lax.broadcasted_iota(jnp.int32, (G, K, C), 1) * C + laneC
-
+    # ---- top-K selection (per group): lazy row-best loop ---------------
+    # The loop maintains only each row's best candidate (value, column)
+    # [G,K,1]; per iteration it pops the global best row-best, records
+    # (parent row, char, dead) for new beam i, masks the popped CELL,
+    # and refreshes the row bests — ~6 [G,K,C]-class ops per iteration
+    # vs the former ~25 (the global-argmax formulation re-reduced the
+    # full candidate matrix and extracted 5 values per iteration). ALL
+    # candidate-value extraction and state rebuilds happen ONCE after
+    # the loop via a batched one-hot parent matmul + char-mask
+    # reductions. Selection order (and therefore output) is IDENTICAL:
+    # the global flat-index argmin over tied maxima equals (min row
+    # among tied row-bests, min column within that row).
     pfx_f = pfx[...]
     plen_f = plen[...]
 
+    def rowbest(sc):
+        rb_val = jnp.max(sc, axis=2, keepdims=True)          # [G,K,1]
+        rb_col = jnp.min(jnp.where(sc >= rb_val, laneC, C),
+                         axis=2, keepdims=True)              # [G,K,1]
+        return rb_val, rb_col
+
+    rb_val0, rb_col0 = rowbest(scores)
+
     def sel_body(i, carry):
-        (sc, n_par, n_char, n_ext, n_plen, n_last, n_pb, n_pnb,
-         n_h1, n_h2, n_lm, n_bon, n_ctx) = carry
-        # NB: multi-axis reduces (axis=(1,2)) SIGABRT the Mosaic
-        # compiler — chain lane (2) then sublane (1) reductions
-        m = jnp.max(jnp.max(sc, axis=2, keepdims=True),
-                    axis=1, keepdims=True)               # [G,1,1]
-        eq = sc >= m                                     # [G,K,C]
-        pick = jnp.min(jnp.min(jnp.where(eq, idx2d, K * C),
-                               axis=2, keepdims=True),
-                       axis=1, keepdims=True)            # [G,1,1]
-        sel = idx2d == pick                              # [G,K,C]
-        selrow = jnp.sum(jnp.where(sel, 1.0, 0.0), axis=2,
-                         keepdims=True)                  # [G,K,1] parent
-        c_sel = jnp.sum(jnp.sum(jnp.where(sel, lanef, 0.0),
-                                axis=2, keepdims=True),
-                        axis=1, keepdims=True)           # [G,1,1] char
-        is_stay = c_sel == float(blank)
-        is_dead = m <= NEG / 2
+        sc, rb_val, rb_col, n_parj, n_char, n_dead = carry
+        m = jnp.max(rb_val, axis=1, keepdims=True)           # [G,1,1]
+        jrow = jnp.min(jnp.where(rb_val >= m, subl, K),
+                       axis=1, keepdims=True)                # [G,1,1]
+        selrow = subl == jrow                                # [G,K,1]
+        selrowf = selrow.astype(jnp.float32)
+        c_sel = jnp.sum(rb_col.astype(jnp.float32) * selrowf,
+                        axis=1, keepdims=True)               # [G,1,1]
+        is_dead = jnp.where(m <= NEG / 2, 1.0, 0.0)
 
-        def pick_val(cand):
-            return jnp.sum(jnp.sum(jnp.where(sel, cand, 0.0),
-                                   axis=2, keepdims=True),
-                           axis=1, keepdims=True)        # [G,1,1]
-        pb_i = pick_val(cand_pb)
-        pnb_i = pick_val(cand_pnb)
-        # A dead pick re-selects an already-taken cell (all remaining
-        # scores are NEG-tied, min-index wins): it must NOT inherit that
-        # cell's original finite probabilities.
-        pb_i = jnp.where(is_dead, NEG, pb_i)
-        pnb_i = jnp.where(is_dead, NEG, pnb_i)
-        lm_i = jnp.where(is_dead, 0.0, pick_val(cand_lm))
-        bon_i = jnp.where(is_dead, 0.0, pick_val(cand_bon))
-        ctx_i = jnp.where(is_dead, 0,
-                          jnp.sum(jnp.sum(jnp.where(sel, cand_ctx, 0),
-                                          axis=2, keepdims=True),
-                                  axis=1, keepdims=True))
-
-        # parent scalar state (per-group masked reduces over sublanes)
-        def red11(v):
-            return jnp.sum(v, axis=1, keepdims=True)     # [G,1,1]
-        par_len = red11(plen_f * selrow)
-        par_last = red11(lastv * selrow)
-        selrow_u = selrow.astype(jnp.int32)
-        par_h1 = red11(h1r * selrow_u)
-        par_h2 = red11(h2r * selrow_u)
-
-        ext = jnp.logical_not(is_stay)
-        extf = jnp.where(ext, 1.0, 0.0)
-        # clamp at U (matches ops/beam.py): a full prefix buffer makes
-        # the deferred lane write below a no-op, so the length must not
-        # grow past the ids width either
-        new_len = jnp.minimum(par_len + extf, float(U))
-        new_last = jnp.where(ext, c_sel, par_last)
-        c_u = c_sel.astype(jnp.int32)
-        nh1 = jnp.where(ext, par_h1 * _M1 + (c_u + _A1), par_h1)
-        nh2 = jnp.where(ext, par_h2 * _M2 + (c_u + _A2), par_h2)
-        # exhausted candidates become poisoned, step-unique dead beams
-        poison_tag = (_POISON + jnp.int32(1)
-                      + jnp.asarray(t).astype(jnp.int32) * jnp.int32(K)
-                      + jnp.asarray(i).astype(jnp.int32))
-        nh1 = jnp.where(is_dead, poison_tag, nh1)
-        nh2 = jnp.where(is_dead, poison_tag ^ jnp.int32(0xABCD), nh2)
-
-        rowsel = (subl == i).astype(jnp.float32)         # [G,K,1]
-        rowsel_u = rowsel.astype(jnp.int32)
-        # parent INDEX per new beam (the [G,K,K] one-hot matrix is
-        # reconstructed ONCE after the loop from these indices — doing
-        # the [G,K,K] accumulate per iteration cost K x 32-tile ops)
-        par_j = red11(subl.astype(jnp.float32) * selrow)  # [G,1,1]
-        n_par = n_par + rowsel * par_j
+        rowsel = (subl == i).astype(jnp.float32)             # [G,K,1]
+        n_parj = n_parj + rowsel * jrow.astype(jnp.float32)
         n_char = n_char + rowsel * c_sel
-        # write position: the TRUE parent length (pre-increment, not
-        # new_len - 1: a clamped new_len == U must produce NO write,
-        # exactly like a (laneU == par_len) mask)
-        n_ext = n_ext + rowsel * (extf * (1.0 + par_len))
-        n_plen = n_plen + rowsel * new_len
-        n_last = n_last + rowsel * jnp.where(is_dead, -1.0, new_last)
-        n_pb = n_pb + rowsel * pb_i
-        n_pnb = n_pnb + rowsel * pnb_i
-        n_h1 = n_h1 + rowsel_u * nh1
-        n_h2 = n_h2 + rowsel_u * nh2
-        n_lm = n_lm + rowsel * lm_i
-        n_bon = n_bon + rowsel * bon_i
-        n_ctx = n_ctx + rowsel_u * ctx_i
+        n_dead = n_dead + rowsel * is_dead
+
+        # mask the popped cell; refresh row bests
+        sel = selrow & (laneC == c_sel.astype(jnp.int32))    # [G,K,C]
         sc = jnp.where(sel, NEG, sc)
-        return (sc, n_par, n_char, n_ext, n_plen, n_last, n_pb, n_pnb,
-                n_h1, n_h2, n_lm, n_bon, n_ctx)
+        new_val, new_col = rowbest(sc)
+        rb_val = jnp.where(selrow, new_val, rb_val)
+        rb_col = jnp.where(selrow, new_col, rb_col)
+        return sc, rb_val, rb_col, n_parj, n_char, n_dead
 
-    init = (scores,
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.int32),
-            jnp.zeros((G, K, 1), jnp.int32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.float32),
-            jnp.zeros((G, K, 1), jnp.int32))
-    (_, n_par, n_char, n_ext, n_plen, n_last, n_pb, n_pnb, n_h1, n_h2,
-     n_lm, n_bon, n_ctxs) = \
-        jax.lax.fori_loop(0, K, sel_body, init)
+    zk1 = jnp.zeros((G, K, 1), jnp.float32)
+    _, _, _, n_parj, n_char, n_dead = jax.lax.fori_loop(
+        0, K, sel_body, (scores, rb_val0, rb_col0, zk1, zk1, zk1))
 
-    # deferred prefix rebuild: reconstruct the one-hot parent matrix
-    # P[g,i,j] = (parent_idx[g,i] == j) from the accumulated indices,
-    # then rebuild all G*K parent rows in one batched MXU matmul (P is
-    # one-hot, pfx holds small ints as f32 -> exact), then one masked
-    # lane write of the new chars at each parent length.
+    # ---- post-loop state rebuild (once per timestep) -------------------
+    n_parj_i = n_parj.astype(jnp.int32)
+    n_char_i = n_char.astype(jnp.int32)
+    deadb = n_dead > 0.5                                     # [G,K,1]
     laneK = jax.lax.broadcasted_iota(jnp.int32, (G, K, K), 2)
-    P = (laneK == n_par.astype(jnp.int32)).astype(jnp.float32)
+    Pb = laneK == n_parj_i                                   # [G,K,K]
+    P = Pb.astype(jnp.float32)
+    cone = (laneC == n_char_i).astype(jnp.float32)           # [G,K,C]
+
+    def extract(cand):
+        """cand[g, parent_i, char_i] per new beam, via one batched
+        one-hot matmul (MXU) + a char-mask lane reduce. EXACT only for
+        values with <= 16 significant integer bits (the MXU's f32 path
+        is bf16-decomposed); floats go through extract_f32_exact."""
+        rows = jax.lax.dot_general(
+            P, cand, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # [G,K,C]
+        return jnp.sum(rows * cone, axis=2, keepdims=True)   # [G,K,1]
+
+    def extract_int_exact(v_int, n_chunks):
+        """BIT-EXACT int32 gather via 8-bit chunks: the Mosaic
+        in-kernel f32 dot is a SINGLE bf16 pass (measured: 8-bit ints
+        gather exactly, 12-bit err 4, 16-bit err 64), so each byte is
+        gathered separately and OR-reassembled (two's-complement safe:
+        the top byte's shift_left overflow reproduces the sign bits)."""
+        acc = jnp.zeros((G, K, 1), jnp.int32)
+        for s8 in range(n_chunks):
+            chunk = jnp.bitwise_and(
+                jax.lax.shift_right_logical(v_int, 8 * s8),
+                jnp.int32(0xFF))
+            g = extract(chunk.astype(jnp.float32)).astype(jnp.int32)
+            acc = jnp.bitwise_or(acc, jax.lax.shift_left(g, 8 * s8))
+        return acc
+
+    def extract_f32_exact(cand):
+        """BIT-EXACT float gather through the int-chunk path."""
+        bits = jax.lax.bitcast_convert_type(cand, jnp.int32)
+        return jax.lax.bitcast_convert_type(
+            extract_int_exact(bits, 4), jnp.float32)
+
+    # A dead pick re-selects an already-taken cell (all remaining
+    # scores are NEG-tied, min-index wins): it must NOT inherit that
+    # cell's original finite probabilities.
+    n_pb = jnp.where(deadb, NEG, extract_f32_exact(cand_pb))
+    n_pnb = jnp.where(deadb, NEG, extract_f32_exact(cand_pnb))
+    if has_lm:
+        n_lm = jnp.where(deadb, 0.0, extract_f32_exact(cand_lm))
+        n_bon = jnp.where(deadb, 0.0, extract_f32_exact(cand_bon))
+        # ctx ids are < 2^16: two 8-bit chunks gather exactly
+        n_ctxs = jnp.where(deadb, 0, extract_int_exact(cand_ctx, 2))
+    else:
+        n_lm = zk1
+        n_bon = zk1
+        n_ctxs = jnp.zeros((G, K, 1), jnp.int32)
+
+    # parent scalar state: [G,K,K] masked reduces (exact for any value;
+    # plen can exceed the MXU's single-bf16-pass exact-int range)
+    def par_gather(v):                                       # v [G,K,1]
+        vj = jnp.broadcast_to(jnp.reshape(v, (G, 1, K)), (G, K, K))
+        return jnp.sum(jnp.where(Pb, vj, jnp.zeros_like(vj)),
+                       axis=2, keepdims=True)                # [G,K,1]
+    par_len = par_gather(plen_f)
+    par_last = par_gather(lastv)
+    par_h1 = par_gather(h1r)
+    par_h2 = par_gather(h2r)
+
+    extb = n_char_i != blank                                 # [G,K,1]
+    extf = jnp.where(extb, 1.0, 0.0)
+    # clamp at U (matches ops/beam.py): a full prefix buffer makes the
+    # deferred lane write below a no-op, so the length must not grow
+    # past the ids width either
+    n_plen = jnp.minimum(par_len + extf, float(U))
+    n_last = jnp.where(deadb, -1.0,
+                       jnp.where(extb, n_char, par_last))
+    nh1 = jnp.where(extb, par_h1 * _M1 + (n_char_i + _A1), par_h1)
+    nh2 = jnp.where(extb, par_h2 * _M2 + (n_char_i + _A2), par_h2)
+    # exhausted candidates become poisoned, step-unique dead beams
+    # (the selection-order index IS the new beam's row index)
+    poison_tag = (_POISON + jnp.int32(1)
+                  + jnp.asarray(t).astype(jnp.int32) * jnp.int32(K)
+                  + subl)
+    n_h1 = jnp.where(deadb, poison_tag, nh1)
+    n_h2 = jnp.where(deadb, poison_tag ^ jnp.int32(0xABCD), nh2)
+
+    # deferred prefix rebuild: all G*K parent rows in one batched MXU
+    # matmul (P is one-hot, pfx holds small ints as f32 -> exact), then
+    # one masked lane write of the new chars at each parent length
+    # (a parent at the U clamp yields wpos == par_len == U, which no
+    # lane matches — no write, exactly like a (laneU == par_len) mask).
     par_pfx_all = jax.lax.dot_general(
         P, pfx_f, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # [G,K,U]
-    # n_ext encodes 0 = stay, 1 + parent_length = extend; a parent at
-    # the U clamp yields wpos == U, which no lane matches (no write)
-    wpos = n_ext.astype(jnp.int32) - 1
-    writem = (laneU == wpos) & (n_ext > 0.5)             # [G,K,U]
+    writem = (laneU == par_len.astype(jnp.int32)) & extb  # [G,K,U]
     n_pfx = jnp.where(writem, n_char, par_pfx_all)
 
     # ---- commit (frozen once t >= seq_len) -----------------------------
