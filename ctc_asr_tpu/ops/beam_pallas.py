@@ -453,10 +453,14 @@ def _g_stack_bytes(g: int, K: int, U: int) -> int:
 
 def _pick_rows_per_step(B: int, K: int, U: int, has_lm: bool) -> int:
     """Batch rows per grid step (see module docstring). LM fusion pins
-    G=1 (its table gather is a per-beam dynamic-slice loop)."""
+    G=1 (its table gather is a per-beam dynamic-slice loop). Narrow
+    beams are still issue-latency-bound at G=8 and gain from G=16
+    (measured K=16 B=128 T=400: 78 -> 67 ms); wide beams are
+    throughput/VMEM-bound and REGRESS past G=8 (K=64 at G=16:
+    941 -> 1602 ms), so the start point is K-dependent."""
     if has_lm:
         return 1
-    g = 8
+    g = 16 if K <= 16 else 8
     while g > 1 and (_g_stack_bytes(g, K, U) > _G_VMEM_BUDGET or g > B):
         g //= 2
     return max(g, 1)
