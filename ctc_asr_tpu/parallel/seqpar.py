@@ -545,6 +545,12 @@ def sp_batch_put(mesh: Mesh, arrs, axis: str = "seq"):
     over 'seq', lengths/labels replicated. Raises a clear error when the
     padded sample width doesn't tile into hop-multiple chunks."""
     samples, lens_labels = arrs[0], arrs[1:]
+    if getattr(samples, "ndim", 2) == 3:
+        raise NotImplementedError(
+            "sequence parallelism expects RAW audio on the wire; the "
+            "feature-cache batch ([B, T, F] precomputed features) would "
+            "be mis-sharded as samples — unset data.feature_cache with "
+            "mesh.seq_axis > 1 (SP extracts features per time shard)")
     n = mesh.shape[axis]
     S = samples.shape[1]
     if S % n != 0:

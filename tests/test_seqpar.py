@@ -381,3 +381,13 @@ def test_sp_birnn_stack_two_layers():
     f2 = seqpar.make_sp_birnn_fn(p2, mesh)
     got = np.asarray(f2(f1(x, lengths), lengths))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_rejects_feature_cache_batches():
+    """SP shards RAW audio samples over time; a feature-cache batch
+    ([B, T, F] precomputed features) must be rejected loudly rather
+    than mis-sharded as samples."""
+    mesh = _seq_mesh(2)
+    feats = np.zeros((2, 32, 13), np.float16)
+    with pytest.raises(NotImplementedError, match="feature-cache"):
+        seqpar.sp_batch_put(mesh, (feats, np.array([32, 32], np.int32)))
