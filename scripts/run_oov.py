@@ -236,10 +236,12 @@ def main():
         for lm_tag, char_path, word_path in (
                 ("trainlm", charlm_train, wordlm_train),
                 ("fulllm", charlm_full, wordlm_full)):
-            # char-LM fusion: select w on OOV-dev (alpha 0 == "decline"
-            # is NOT in this grid — w=0 is the plain beam above)
+            # char-LM fusion: select w on OOV-dev. w=0 IS in the grid
+            # (added after the round-5 run): dev can decline fusion
+            # outright — which it would have for the train-only LM,
+            # whose best nonzero w still lost to the plain beam.
             best_w, best_dev = 0.0, float("inf")
-            for w in (0.2, 0.4, 0.6):
+            for w in (0.0, 0.2, 0.4, 0.6):
                 lcfg = dc.replace(bcfg, decode=dc.replace(
                     bcfg.decode, lm_path=char_path, lm_weight=w,
                     word_bonus=0.5))
