@@ -169,8 +169,7 @@ def evaluate(cfg: Config, params, loader: DataLoader | None = None,
         # decoded or uploaded
         import itertools
         src = itertools.islice(src, max_batches)
-    for bi, (batch, dev) in enumerate(
-            device_batches(src, with_labels=False, put=put)):
+    for batch, dev in device_batches(src, with_labels=False, put=put):
         d_samples, d_slens = dev
         logits, logit_lens = eval_step(params, d_samples, d_slens)
         if rescorer is not None:
