@@ -27,32 +27,39 @@ on sublanes, C = classes on lanes, U = max decode length on lanes):
     distinct extend cells (j, c_k)); every match is a real merge.
     Merged extends are killed via a batched [G,K,K] x [G,K,C] one-hot
     matmul.
-  * **Top-K**: a LAZY ROW-BEST loop — each row's best candidate
-    (value, column) is maintained in [G, K, 1]; per iteration the
-    global best row-best is popped (identical selection order to a
-    flat argmin over tied maxima), the popped CELL is masked, and the
-    row bests refresh: ~6 [G,K,C]-class ops per iteration. ALL value
-    extraction and state rebuilding happens ONCE post-loop: a one-hot
-    parent matrix P (from the recorded parent indices) gathers parent
-    prefixes/state via batched MXU matmuls, and candidate values
-    gather BIT-EXACTLY via 8-bit chunked one-hot matmuls (the Mosaic
-    in-kernel f32 dot is a single bf16 pass — only 8-bit ints survive
-    exactly; measured: 12-bit err 4, 16-bit err 64).
+  * **Top-K**: THRESHOLD selection, no serial pop loop. The selected
+    set under the pop order (value desc, row asc, col asc) equals the
+    top-K under (key desc, flat-index asc), so the kernel
+    binary-searches the K-th largest key (monotone f32->int32 bit
+    map; 31 fixed steps of one [G,K,C] compare+count), breaks
+    key==theta ties by flat index with exact integer-count prefixes,
+    and derives each new beam's parent row CLOSED-FORM: a row's
+    selected cells hold contiguous flat ranks, so the parent one-hot
+    is P[g,i,k] = (base_k <= i < base_k + m_k). State rebuilding
+    happens ONCE per step: P gathers parent prefixes/state via
+    batched MXU matmuls, and candidate values gather BIT-EXACTLY via
+    8-bit chunked one-hot matmuls (the Mosaic in-kernel f32 dot is a
+    single bf16 pass — only 8-bit ints survive exactly; measured:
+    12-bit err 4, 16-bit err 64).
   * Beams created from exhausted (NEG-score) candidates get poisoned,
     step-unique hashes so they can never merge with live beams.
 
-- **Why a G dimension and the lazy loop** (measured,
+- **Why a G dimension and threshold selection** (measured,
   scripts/diag_decode_roofline.py + DESIGN.md §4c): at G=1 the
-  original top-K loop's per-iteration cost was CONSTANT in K (0.94 us
-  at K=16 vs 0.83 us at K=64 on v5e) — op-issue-latency-bound — and
-  the (B, T) grid serializes independent batch rows. G=8 rows per
-  grid step amortize the issue latency; the lazy row-best loop then
-  cuts the per-iteration op count ~4x for the now-throughput-bound
-  K=64 tiles. Cumulative at B=128/T=400 vs the round-4 kernel:
-  **2.70x** at the contract K=64 (2542 -> 941 ms), **7.3x** at K=16
-  (562 -> 77 ms), **1.72x** on the LM-fusion path (3219 -> 1874 ms;
-  it keeps G=1 because its per-beam table gather is a K-iteration
-  dynamic-slice loop that G would multiply).
+  round-4 pop loop's per-iteration cost was CONSTANT in K
+  (op-issue-latency-bound) and the (B, T) grid serializes independent
+  batch rows — G=8 rows per grid step amortize the issue latency
+  (G=16 remeasured with the threshold kernel: 1.03x for a 100 s
+  compile — not taken at K=64; K<=16 keeps G=16). Replacing the
+  K-iteration lazy row-best pop loop with threshold selection
+  (binary-searched K-th key + closed-form parent one-hot) then cut
+  the contract shape another **3.04x** (941 -> 309 ms at
+  B=128/T=400/K=64; LM fusion 1869 -> 1022 ms; bit-identical outputs
+  on hardware). Cumulative vs the round-4 kernel: **8.2x** at the
+  contract K=64 (2542 -> 309 ms), **11.2x** at K=16 (562 -> 50 ms),
+  **3.1x** on the LM-fusion path (3219 -> 1022 ms; it keeps G=1
+  because its per-beam table gather is a K-iteration dynamic-slice
+  loop that G would multiply).
 
 LM shallow fusion (BASELINE.json:10) IS kernelized: the dense char
 n-gram table (ops/lm.py) rides in VMEM as a grid-constant input block
@@ -232,65 +239,111 @@ def _beam_kernel(lp_ref, len_ref, *refs,
     if has_lm:
         scores = scores + lm_weight * cand_lm + word_bonus * cand_bon
 
-    # ---- top-K selection (per group): lazy row-best loop ---------------
-    # The loop maintains only each row's best candidate (value, column)
-    # [G,K,1]; per iteration it pops the global best row-best, records
-    # (parent row, char, dead) for new beam i, masks the popped CELL,
-    # and refreshes the row bests — ~6 [G,K,C]-class ops per iteration
-    # vs the former ~25 (the global-argmax formulation re-reduced the
-    # full candidate matrix and extracted 5 values per iteration). ALL
-    # candidate-value extraction and state rebuilds happen ONCE after
-    # the loop via a batched one-hot parent matmul + char-mask
-    # reductions. Selection order (and therefore output) is IDENTICAL:
-    # the global flat-index argmin over tied maxima equals (min row
-    # among tied row-bests, min column within that row).
+    # ---- top-K selection (per group): threshold + flat-order ranks -----
+    # The selected SET under the pop order (value desc, row asc, col
+    # asc) equals the top-K under the total order (key desc, flat asc),
+    # flat = row*C + col — so selection needs NO serial pop loop at all:
+    #
+    #  1. map scores to int32 keys with a monotone bit twiddle,
+    #  2. binary-search the K-th largest key theta (31 fixed steps of
+    #     one [G,K,C] compare+count — the only O(log range) part),
+    #  3. break key==theta ties by flat index via EXACT integer-count
+    #     prefixes (in-row prefix = one-hot [C,C] MXU matmul, counts
+    #     <= C so the MXU's single-bf16 pass is exact; cross-row base =
+    #     f32 masked [G,K,K] reduce, exact to 2^24),
+    #  4. new beam i's parent row falls out closed-form: selected cells
+    #     of a row hold CONTIGUOUS flat ranks, so P[g,i,k] =
+    #     (base_k <= i < base_k + m_k) — no scatter, no loop.
+    #
+    # Beams land on sublanes in flat order rather than score order; the
+    # selected set, every per-beam state, and the emitted best/N-best
+    # (max / host argsort by score) are unchanged — only exact
+    # cross-beam score ties (measure-zero for continuous logits; dead
+    # NEG beams are poisoned either way) could reorder. Replaced the
+    # K-iteration lazy row-best pop loop after hardware A/B (DESIGN.md
+    # §4c): ~2x fewer [G,K,C]-class ops at the contract K=64.
     pfx_f = pfx[...]
     plen_f = plen[...]
 
-    def rowbest(sc):
-        rb_val = jnp.max(sc, axis=2, keepdims=True)          # [G,K,1]
-        rb_col = jnp.min(jnp.where(sc >= rb_val, laneC, C),
-                         axis=2, keepdims=True)              # [G,K,1]
-        return rb_val, rb_col
+    sbits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.bitwise_xor(
+        sbits,
+        jnp.bitwise_and(jax.lax.shift_right_arithmetic(sbits, 31),
+                        jnp.int32(0x7FFFFFFF)))              # [G,K,C]
 
-    rb_val0, rb_col0 = rowbest(scores)
+    def _cnt(pred):
+        s = jnp.sum(jnp.where(pred, 1.0, 0.0), axis=2, keepdims=True)
+        return jnp.sum(s, axis=1, keepdims=True)             # [G,1,1]
 
-    def sel_body(i, carry):
-        sc, rb_val, rb_col, n_parj, n_char, n_dead = carry
-        m = jnp.max(rb_val, axis=1, keepdims=True)           # [G,1,1]
-        jrow = jnp.min(jnp.where(rb_val >= m, subl, K),
-                       axis=1, keepdims=True)                # [G,1,1]
-        selrow = subl == jrow                                # [G,K,1]
-        selrowf = selrow.astype(jnp.float32)
-        c_sel = jnp.sum(rb_col.astype(jnp.float32) * selrowf,
-                        axis=1, keepdims=True)               # [G,1,1]
-        is_dead = jnp.where(m <= NEG / 2, 1.0, 0.0)
+    kmax = jnp.max(jnp.max(key, axis=2, keepdims=True), axis=1,
+                   keepdims=True)                            # [G,1,1]
+    kmin = jnp.min(jnp.min(key, axis=2, keepdims=True), axis=1,
+                   keepdims=True)
 
-        rowsel = (subl == i).astype(jnp.float32)             # [G,K,1]
-        n_parj = n_parj + rowsel * jrow.astype(jnp.float32)
-        n_char = n_char + rowsel * c_sel
-        n_dead = n_dead + rowsel * is_dead
+    def bs_body(_, carry):
+        lo, hi = carry
+        d = hi - lo                                          # >= 0
+        mid = lo + jax.lax.shift_right_logical(d, 1) \
+            + jnp.bitwise_and(d, 1)                          # ceil split
+        ok = _cnt(key >= mid) >= float(K)
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
 
-        # mask the popped cell; refresh row bests
-        sel = selrow & (laneC == c_sel.astype(jnp.int32))    # [G,K,C]
-        sc = jnp.where(sel, NEG, sc)
-        new_val, new_col = rowbest(sc)
-        rb_val = jnp.where(selrow, new_val, rb_val)
-        rb_col = jnp.where(selrow, new_col, rb_col)
-        return sc, rb_val, rb_col, n_parj, n_char, n_dead
+    # span < 2^31 halves every step: 31 fixed iterations pin theta,
+    # the K-th largest key (largest theta with count(key >= theta) >= K)
+    theta, _ = jax.lax.fori_loop(0, 31, bs_body, (kmin, kmax))
+    ties_needed = float(K) - _cnt(key > theta)               # [G,1,1]
 
-    zk1 = jnp.zeros((G, K, 1), jnp.float32)
-    _, _, _, n_parj, n_char, n_dead = jax.lax.fori_loop(
-        0, K, sel_body, (scores, rb_val0, rb_col0, zk1, zk1, zk1))
-
-    # ---- post-loop state rebuild (once per timestep) -------------------
-    n_parj_i = n_parj.astype(jnp.int32)
-    n_char_i = n_char.astype(jnp.int32)
-    deadb = n_dead > 0.5                                     # [G,K,1]
     laneK = jax.lax.broadcasted_iota(jnp.int32, (G, K, K), 2)
-    Pb = laneK == n_parj_i                                   # [G,K,K]
+    row_before = (laneK < subl).astype(jnp.float32)          # [G,K,K]
+    mstrict = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+               < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+               ).astype(jnp.float32)                         # [C,C]
+
+    def _inrow_excl(mask_f):
+        # exclusive in-row prefix count: one-hot [C,C] matmul, exact
+        # on the MXU's single-bf16 pass because counts are <= C < 256
+        return jax.lax.dot_general(
+            mask_f, mstrict, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [G,K,C]
+
+    def _rows_before(rowcnt):
+        # exclusive cross-row prefix of per-row counts (f32-exact)
+        cl = jnp.broadcast_to(jnp.reshape(rowcnt, (G, 1, K)), (G, K, K))
+        return jnp.sum(row_before * cl, axis=2, keepdims=True)
+
+    tiem = (key == theta).astype(jnp.float32)                # [G,K,C]
+    tie_rank = _rows_before(jnp.sum(tiem, axis=2, keepdims=True)) \
+        + _inrow_excl(tiem)                                  # flat order
+    selm = jnp.where(key > theta, 1.0,
+                     tiem * jnp.where(tie_rank < ties_needed, 1.0, 0.0))
+
+    m_k = jnp.sum(selm, axis=2, keepdims=True)               # [G,K,1]
+    base_k = _rows_before(m_k)                               # [G,K,1]
+    rank = base_k + _inrow_excl(selm)                        # [G,K,C]
+
+    # parent one-hot P[g, i, kp] = (base_kp <= i < base_kp + m_kp)
+    sublf = subl.astype(jnp.float32)                         # [G,K,1]
+    base_l = jnp.broadcast_to(jnp.reshape(base_k, (G, 1, K)), (G, K, K))
+    m_l = jnp.broadcast_to(jnp.reshape(m_k, (G, 1, K)), (G, K, K))
+    Pb = (sublf >= base_l) & (sublf < base_l + m_l)          # [G,K,K]
     P = Pb.astype(jnp.float32)
-    cone = (laneC == n_char_i).astype(jnp.float32)           # [G,K,C]
+
+    def _pgather_kc(mat):
+        # row kp(i) of a [G,K,C] matrix for each new beam i (one-hot
+        # MXU matmul; exact for 0/1 masks and integer counts < 256)
+        return jax.lax.dot_general(
+            P, mat, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # [G,K,C]
+
+    # char one-hot: the cell of parent row kp(i) whose flat rank == i
+    cone = _pgather_kc(selm) * \
+        jnp.where(_pgather_kc(rank) == sublf, 1.0, 0.0)      # [G,K,C]
+    n_char = jnp.sum(cone * lanef, axis=2, keepdims=True)    # [G,K,1]
+    n_char_i = n_char.astype(jnp.int32)
+    # dead = the selected cell is NEG-class; the bf16-rounded matmul
+    # gather is classification-safe (|NEG| dwarfs any live score)
+    deadb = jnp.sum(_pgather_kc(scores) * cone, axis=2,
+                    keepdims=True) <= NEG / 2                # [G,K,1]
 
     def extract(cand):
         """cand[g, parent_i, char_i] per new beam, via one batched
@@ -334,8 +387,8 @@ def _beam_kernel(lp_ref, len_ref, *refs,
         # ctx ids are < 2^16: two 8-bit chunks gather exactly
         n_ctxs = jnp.where(deadb, 0, extract_int_exact(cand_ctx, 2))
     else:
-        n_lm = zk1
-        n_bon = zk1
+        n_lm = jnp.zeros((G, K, 1), jnp.float32)
+        n_bon = jnp.zeros((G, K, 1), jnp.float32)
         n_ctxs = jnp.zeros((G, K, 1), jnp.int32)
 
     # parent scalar state: [G,K,K] masked reduces (exact for any value;
@@ -432,12 +485,15 @@ _LM_MAX_CTX = 65536
 # dominates and the XLA decoder is the right tool. Configs that derive
 # a larger U fail loudly (VERDICT r1 #6).
 _MAX_U = 1024
-# Scoped-VMEM budget for the G pick. Mosaic keeps the (unrolled)
-# top-K loop's per-iteration temporaries live on its VMEM stack —
-# measured ~4.9 MB per row group at K=64/U=256 — so the grouped kernel
-# compiles with a raised vmem_limit_bytes (the lstm_pallas pattern,
-# 100M on v5-class parts) and G is chosen so the measured-slope stack
-# estimate stays inside the budget.
+# Scoped-VMEM budget for the G pick. The round-4 pop loop's unrolled
+# per-iteration temporaries sized this model (~4.9 MB per row group at
+# K=64/U=256); the threshold kernel's scoped stack is far smaller (its
+# only loop carries [G,1,1] scalars), so the estimate is now
+# conservative — kept as-is because the measured-best G (8 at K=64,
+# 16 at K<=16) already sits inside it and G=16 at K=64 was remeasured
+# at 1.03x for a 100 s compile (not worth it). The grouped kernel
+# still compiles with the raised vmem_limit_bytes (lstm_pallas
+# pattern, 100M on v5-class parts).
 _G_VMEM_BUDGET = 80 * 1024 * 1024
 _G_VMEM_LIMIT = 100 * 1024 * 1024
 
