@@ -291,13 +291,24 @@ def bench_converged_decode(cfg, batch: int, ckpt: str, manifest_path: str):
     counterpart to the 40-step synth proxy (BASELINE.json:2). Uses
     evaluate()'s steady-state protocol (first batch excluded)."""
     import dataclasses as dc
+    import os
     import jax
     from ctc_asr_tpu import checkpoint as ckpt_mod
-    from ctc_asr_tpu.config import DataConfig, DecodeConfig
+    from ctc_asr_tpu.config import DataConfig, DecodeConfig, from_json
     from ctc_asr_tpu.data import DataLoader, read_manifest
     from ctc_asr_tpu.evaluate import evaluate
     from ctc_asr_tpu.train import init_train_state
 
+    # an assets dir may pin the checkpoint's own model/feature geometry
+    # (config.json, written by the run that left the checkpoint) — the
+    # bench --model template need not match the converged asset family
+    if not ckpt.endswith(".npz"):
+        cj = os.path.join(ckpt, "config.json")
+        if os.path.exists(cj):
+            with open(cj) as f:
+                acfg = from_json(f.read())
+            cfg = dc.replace(cfg, model=acfg.model,
+                             features=acfg.features)
     cfg = dc.replace(
         cfg,
         data=dc.replace(DataConfig(), batch_size=batch, num_buckets=2,
@@ -315,11 +326,24 @@ def bench_converged_decode(cfg, batch: int, ckpt: str, manifest_path: str):
                        ("greedy", dc.replace(cfg.decode,
                                              method="greedy"))):
         c = dc.replace(cfg, decode=dcfg)
-        loader = DataLoader(man, c.data, c.features, drop_last=False)
-        r = evaluate(c, state["params"], loader=loader, log_samples=0)
-        out[f"decode_rtf_converged_{name}"] = round(r["rtf"], 5)
+        # two passes, min steady rtf: the steady window is only
+        # ~6 batches at B=128/n=1024, so one pass is exposed to
+        # multi-second tunnel/host jitter (observed 0.0024-0.014 for
+        # the same greedy eval); min-of-two is the chain_time rule
+        rtfs = []
+        for _ in range(2):
+            loader = DataLoader(man, c.data, c.features,
+                                drop_last=False)
+            r = evaluate(c, state["params"], loader=loader,
+                         log_samples=0)
+            rtfs.append(r["rtf"])
+        out[f"decode_rtf_converged_{name}"] = round(min(rtfs), 5)
         out[f"decode_wer_converged_{name}"] = round(r["wer"], 4)
     out["decode_converged_ckpt"] = path
+    out["decode_converged_model"] = (
+        f"{cfg.model.frontend}+{cfg.model.rnn_layers}x"
+        f"{'bi' if cfg.model.bidirectional else 'uni'}-"
+        f"{cfg.model.rnn_units}")
     return out
 
 
