@@ -422,11 +422,14 @@ def main():
     # proxy above is shape-level). Assets resolve from flags, env vars,
     # or the default drop location, so the driver's flagless run picks
     # them up whenever a round leaves a converged checkpoint behind.
+    # Auto-discovery is gated off under --tiny/--no-decode (explicit
+    # flags/env still win): the CPU smoke path must not pick up a real
+    # flagship checkpoint from the default drop dir.
     import os
     ckpt = args.decode_ckpt or os.environ.get("CTC_ASR_BENCH_CKPT", "")
     man = args.decode_manifest or os.environ.get(
         "CTC_ASR_BENCH_MANIFEST", "")
-    if not (ckpt and man):
+    if not (ckpt and man) and not (args.tiny or args.no_decode):
         default_dir = "/tmp/ctc_asr_tpu/bench_assets"
         dman = os.path.join(default_dir, "manifest.csv")
         if os.path.exists(dman) and \
