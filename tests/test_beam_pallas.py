@@ -1,5 +1,6 @@
 """Pallas beam-search kernel vs the XLA implementation + oracle
-(interpret mode on CPU; tiny sizes — the kernel's top-K loop is O(K*T))."""
+(interpret mode on CPU; tiny sizes — interpret pays the kernel's
+per-timestep threshold search + rebuild matmuls in pure Python)."""
 
 import numpy as np
 import pytest
